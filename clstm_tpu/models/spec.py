@@ -1,0 +1,306 @@
+"""NetSpec: static network topology + the layer registry.
+
+Reference mapping (all ≈L unverified, empty mount — SURVEY.md §0):
+  * ``INetwork`` {kind, attr Assoc, sub networks}  -> frozen ``NetSpec`` tree
+    (clstm.h ≈L100-300).
+  * virtual forward()/backward()                   -> pure ``apply_net`` +
+    ``jax.grad`` (clstm.cc ≈L1-400).
+  * global layer registry + ``make_layer(kind)``   -> ``REGISTRY`` /
+    ``make_layer`` keyed by the same kind strings, so .clstm checkpoints
+    reconstruct (clstm.cc registry, clstm_proto.cc load path).
+  * concrete layers: Linear/Sigmoid/Tanh/Relu/Softmax (clstm.cc ≈L400-600),
+    NPLSTM (≈L600-800), Stacked/Parallel/Reversed/Botched (≈L800-1000).
+
+Design: spec is static Python data closed over by the traced function;
+params is the matching pytree of arrays {"weights": {...}, "sub": [...]}.
+Kind strings and attr keys (ninput/nhidden/noutput) are the reference's, so
+the proto round-trip is structural identity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Mapping, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from clstm_tpu.ops.lstm import lstm_init, lstm_apply
+from clstm_tpu.ops.nonlin import nonlin_apply
+from clstm_tpu.ops.seq import flip_within_length
+
+
+@dataclasses.dataclass(frozen=True)
+class NetSpec:
+    """Static description of one network node (reference INetwork sans state).
+
+    ``attr`` is the reference's string->string Assoc, stored as a sorted
+    tuple of pairs so the spec is hashable (usable as a jit static arg).
+    """
+
+    kind: str
+    attr: tuple = ()
+    sub: tuple = ()
+
+    @staticmethod
+    def make(kind: str, attr: Optional[Mapping] = None,
+             sub: Sequence["NetSpec"] = ()) -> "NetSpec":
+        items = tuple(sorted((str(k), str(v)) for k, v in (attr or {}).items()))
+        return NetSpec(kind=kind, attr=items, sub=tuple(sub))
+
+    # -- Assoc-style accessors (reference utils getienv-style, but on attrs) --
+    def get(self, key: str, default=None):
+        for k, v in self.attr:
+            if k == key:
+                return v
+        return default
+
+    def iget(self, key: str, default: Optional[int] = None) -> int:
+        v = self.get(key)
+        if v is None:
+            if default is None:
+                raise KeyError(f"{self.kind}: missing int attr {key!r}")
+            return default
+        return int(v)
+
+    def dget(self, key: str, default: Optional[float] = None) -> float:
+        v = self.get(key)
+        if v is None:
+            if default is None:
+                raise KeyError(f"{self.kind}: missing float attr {key!r}")
+            return default
+        return float(v)
+
+    def with_attr(self, **kw) -> "NetSpec":
+        d = dict(self.attr)
+        d.update({k: str(v) for k, v in kw.items()})
+        return NetSpec.make(self.kind, d, self.sub)
+
+
+@dataclasses.dataclass(frozen=True)
+class LayerDef:
+    """Registry entry: how to init and apply one layer kind."""
+
+    kind: str
+    init: Callable  # (spec, key) -> weights dict (own weights only)
+    apply: Callable  # (spec, params, x, lengths, ctx) -> y
+    noutput: Callable  # (spec) -> int, output feature dim
+
+
+REGISTRY: dict[str, LayerDef] = {}
+_ALIASES: dict[str, str] = {}
+
+
+def register_layer(kind: str, init, apply, noutput, aliases: Sequence[str] = ()):
+    REGISTRY[kind] = LayerDef(kind, init, apply, noutput)
+    for a in aliases:
+        _ALIASES[a] = kind
+
+
+def resolve_kind(kind: str) -> str:
+    if kind in REGISTRY:
+        return kind
+    if kind in _ALIASES:
+        return _ALIASES[kind]
+    raise ValueError(f"unknown layer kind: {kind!r}")
+
+
+def make_layer(kind: str, attr: Optional[Mapping] = None,
+               sub: Sequence[NetSpec] = ()) -> NetSpec:
+    """Reference ``make_layer(kind)`` — construct a spec node by kind string."""
+    return NetSpec.make(resolve_kind(kind), attr, sub)
+
+
+def layer(kind: str, ninput: int, noutput: int, args: Optional[Mapping] = None,
+          sub: Sequence[NetSpec] = ()) -> NetSpec:
+    """Reference ``layer(...)`` combinator helper (clstm.cc ≈L300): build a
+    node and record ninput/noutput attrs."""
+    attr = dict(args or {})
+    attr.setdefault("ninput", ninput)
+    attr.setdefault("noutput", noutput)
+    return make_layer(kind, attr, sub)
+
+
+# ---------------------------------------------------------------------------
+# init / apply drivers
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class ApplyCtx:
+    """Trace-time flags threaded through apply (all static)."""
+
+    logits: bool = False        # make the final SoftmaxLayer emit logits
+    compute_dtype: object = None  # e.g. jnp.bfloat16 for matmuls
+
+
+def init_net(spec: NetSpec, key: jax.Array) -> dict:
+    """Build the params pytree mirroring the spec tree."""
+    ldef = REGISTRY[resolve_kind(spec.kind)]
+    n = len(spec.sub)
+    keys = jax.random.split(key, n + 1)
+    return {
+        "weights": ldef.init(spec, keys[0]),
+        "sub": [init_net(s, keys[i + 1]) for i, s in enumerate(spec.sub)],
+    }
+
+
+def apply_net(spec: NetSpec, params: dict, x: jax.Array,
+              lengths: Optional[jax.Array] = None, *,
+              logits: bool = False, compute_dtype=None) -> jax.Array:
+    """Pure forward pass: [B, T, D] right-padded batch -> [B, T, O].
+
+    ``logits=True`` makes the outermost SoftmaxLayer return pre-softmax
+    logits — the training loss needs them because the reference's
+    backward_softmax treats the injected delta as the *pre-activation*
+    delta (clstm_compute.cc backward_softmax, ≈L300; see train.py).
+    """
+    ctx = ApplyCtx(logits=logits, compute_dtype=compute_dtype)
+    return _apply(spec, params, x, lengths, ctx)
+
+
+def _apply(spec: NetSpec, params: dict, x, lengths, ctx: ApplyCtx):
+    ldef = REGISTRY[resolve_kind(spec.kind)]
+    return ldef.apply(spec, params, x, lengths, ctx)
+
+
+def noutput_of(spec: NetSpec) -> int:
+    """Output feature dimension of a spec tree."""
+    return REGISTRY[resolve_kind(spec.kind)].noutput(spec)
+
+
+def walk_weights(spec: NetSpec, params: dict, path: str = ""):
+    """Yield (path, name, array) over all trainable weights, preorder —
+    the analogue of the reference's weight walker (INetwork::myweights)."""
+    for name, arr in params["weights"].items():
+        yield path or ".", name, arr
+    for i, (s, p) in enumerate(zip(spec.sub, params["sub"])):
+        yield from walk_weights(s, p, f"{path}/{s.kind}[{i}]")
+
+
+def network_info(spec: NetSpec, params: Optional[dict] = None, indent: int = 0) -> str:
+    """Debug dump of the network tree (reference ``network_info``)."""
+    pad = "  " * indent
+    attrs = " ".join(f"{k}={v}" for k, v in spec.attr)
+    lines = [f"{pad}{spec.kind} {attrs}".rstrip()]
+    if params is not None:
+        for name, arr in params["weights"].items():
+            lines.append(f"{pad}  [{name} {tuple(arr.shape)}]")
+    for i, s in enumerate(spec.sub):
+        sp = params["sub"][i] if params is not None else None
+        lines.append(network_info(s, sp, indent + 1))
+    return "\n".join(lines)
+
+
+# ---------------------------------------------------------------------------
+# Concrete layers
+# ---------------------------------------------------------------------------
+
+_INIT_SCALE = 0.01  # reference uniform init scale (rinit "unif", unverified)
+
+
+def _affine_init(spec: NetSpec, key: jax.Array) -> dict:
+    ni, no = spec.iget("ninput"), spec.iget("noutput")
+    kw, kb = jax.random.split(key)
+    s = spec.dget("initial", _INIT_SCALE)
+    return {
+        "W": jax.random.uniform(kw, (ni, no), jnp.float32, -s, s),
+        "b": jax.random.uniform(kb, (no,), jnp.float32, -s, s),
+    }
+
+
+def _affine(params: dict, x: jax.Array, ctx: ApplyCtx) -> jax.Array:
+    cd = ctx.compute_dtype or x.dtype
+    y = jax.lax.dot_general(
+        x.astype(cd), params["W"].astype(cd),
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + params["b"].astype(jnp.float32)
+    return y
+
+
+def _make_full_apply(nonlin: str):
+    def apply(spec, params, x, lengths, ctx):
+        return nonlin_apply(nonlin, _affine(params["weights"], x, ctx)).astype(x.dtype)
+    return apply
+
+
+def _softmax_apply(spec, params, x, lengths, ctx):
+    z = _affine(params["weights"], x, ctx)
+    if ctx.logits:
+        return z.astype(x.dtype)
+    return jax.nn.softmax(z, axis=-1).astype(x.dtype)
+
+
+def _attr_noutput(spec: NetSpec) -> int:
+    return spec.iget("noutput")
+
+
+for _kind, _nl, _al in (
+    ("LinearLayer", "LIN", ("linear",)),
+    ("SigmoidLayer", "SIG", ("sigmoid",)),
+    ("TanhLayer", "TANH", ("tanh",)),
+    ("ReluLayer", "RELU", ("relu",)),
+):
+    register_layer(_kind, _affine_init, _make_full_apply(_nl), _attr_noutput, _al)
+
+register_layer("SoftmaxLayer", _affine_init, _softmax_apply, _attr_noutput,
+               aliases=("softmax",))
+
+
+def _lstm_spec_init(spec: NetSpec, key: jax.Array) -> dict:
+    ni, nh = spec.iget("ninput"), spec.iget("nhidden")
+    return lstm_init(key, ni, nh, scale=spec.dget("initial", _INIT_SCALE))
+
+
+def _lstm_spec_apply(spec, params, x, lengths, ctx):
+    return lstm_apply(params["weights"], x, lengths, compute_dtype=ctx.compute_dtype)
+
+
+def _lstm_noutput(spec: NetSpec) -> int:
+    return spec.iget("nhidden")
+
+
+register_layer("NPLSTM", _lstm_spec_init, _lstm_spec_apply, _lstm_noutput,
+               aliases=("lstm", "LSTM"))
+
+
+def _no_weights(spec, key):
+    return {}
+
+
+def _stacked_apply(spec, params, x, lengths, ctx):
+    n = len(spec.sub)
+    for i, (s, p) in enumerate(zip(spec.sub, params["sub"])):
+        sub_ctx = ctx if i == n - 1 else dataclasses.replace(ctx, logits=False)
+        x = _apply(s, p, x, lengths, sub_ctx)
+    return x
+
+
+def _parallel_apply(spec, params, x, lengths, ctx):
+    sub_ctx = dataclasses.replace(ctx, logits=False)
+    ys = [_apply(s, p, x, lengths, sub_ctx) for s, p in zip(spec.sub, params["sub"])]
+    return jnp.concatenate(ys, axis=-1)
+
+
+def _reversed_apply(spec, params, x, lengths, ctx):
+    sub_ctx = dataclasses.replace(ctx, logits=False)
+    xr = flip_within_length(x, lengths)
+    yr = _apply(spec.sub[0], params["sub"][0], xr, lengths, sub_ctx)
+    return flip_within_length(yr, lengths)
+
+
+def _botched_apply(spec, params, x, lengths, ctx):
+    # Reference ``Botched`` guards partially-implemented nets by aborting in
+    # forward/backward (clstm.cc ≈L800-1000, low confidence). Trace-time
+    # failure is the JAX equivalent.
+    raise NotImplementedError("Botched layer: forward is intentionally unimplemented")
+
+
+register_layer("Stacked", _no_weights, _stacked_apply,
+               lambda s: noutput_of(s.sub[-1]), aliases=("stacked",))
+register_layer("Parallel", _no_weights, _parallel_apply,
+               lambda s: sum(noutput_of(x) for x in s.sub), aliases=("parallel",))
+register_layer("Reversed", _no_weights, _reversed_apply,
+               lambda s: noutput_of(s.sub[0]), aliases=("reversed",))
+register_layer("Botched", _no_weights, _botched_apply,
+               lambda s: noutput_of(s.sub[0]) if s.sub else 0)

@@ -1,0 +1,231 @@
+"""CTC-as-alignment: the reference's training signal, batched on device.
+
+Reference: the CTC section of clstm.cc (≈L1100-1300, unverified; empty
+mount — SURVEY.md §0): ``mktargets`` interleaves blanks into the target
+string (S = 2N+1 states), ``forward_algorithm`` is a log-space DP over the
+(time x state) lattice with transitions {stay, advance-by-one} plus a
+per-state/per-time *skip penalty* used for initialization,
+``ctc_align_targets`` combines forward and backward passes into per-frame
+aligned posterior targets, and ``trivial_decode`` is the greedy decoder.
+The algorithm lineage is ocropy's lstm.py (clstm is its C++ translation);
+numerics here follow that recipe exactly, because the reference trains with
+``outputs.d = aligned - outputs.v`` (alignment targets, NOT the textbook
+CTC loss gradient) and CER parity depends on it (SURVEY.md §7).
+
+TPU-native design: the DP recurrence is a ``lax.scan`` over time carrying
+the [B, S] log-alpha vector; the state dimension is vectorized; batching is
+handled with per-row time/state masks and flip-within-length (no ragged
+shapes, no host round-trips). The whole alignment runs inside the jitted
+training step under ``stop_gradient``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from clstm_tpu.ops.seq import flip_within_length
+
+NEG = -1e30  # log-space "impossible" (finite to keep arithmetic NaN-free)
+LO = 1e-5    # probability floor, as in the reference (lo = 1e-5)
+SKIP = -5.0  # default skip penalty, as in the reference
+
+
+def mktargets_ids(classes, S: Optional[int] = None) -> np.ndarray:
+    """Interleave CTC blanks (class 0) into a class-id sequence.
+
+    Reference ``mktargets`` (clstm.cc ≈L1100) emits a one-hot [2N+1, nclasses]
+    matrix; the id-vector form here is the batched equivalent (one-hot is
+    materialized lazily on device). Optionally right-pad to S states with 0.
+    """
+    classes = list(classes)
+    ids = np.zeros(2 * len(classes) + 1, dtype=np.int32)
+    ids[1::2] = classes
+    if S is not None:
+        out = np.zeros(S, dtype=np.int32)
+        out[: len(ids)] = ids[:S]
+        return out
+    return ids
+
+
+def mktargets(classes, nclasses: int) -> np.ndarray:
+    """One-hot [2N+1, nclasses] target matrix — the reference's exact output."""
+    ids = mktargets_ids(classes)
+    out = np.zeros((len(ids), nclasses), dtype=np.float32)
+    out[np.arange(len(ids)), ids] = 1.0
+    return out
+
+
+def _forward_scan(lmatch: jax.Array, tvalid: jax.Array, skip: float) -> jax.Array:
+    """Batched log-space forward DP.
+
+    lmatch: [B, T, S] log match scores (NEG for invalid states).
+    tvalid: [B, T] bool, True for valid frames (padded frames carry through).
+    Returns lr: [B, T, S] log-alpha after each frame.
+
+    Per the reference recurrence (clstm.cc forward_algorithm, ≈L1150):
+      v0[j] = skip * j
+      for each frame i: w = roll(v, 1); w[0] = skip * i
+                        v = logaddexp(v + lmatch[i], w + lmatch[i])
+    """
+    B, T, S = lmatch.shape
+    v0 = skip * jnp.arange(S, dtype=lmatch.dtype)[None, :].repeat(B, axis=0)
+    lm_t = jnp.transpose(lmatch, (1, 0, 2))     # [T, B, S]
+    tv_t = jnp.transpose(tvalid, (1, 0))        # [T, B]
+
+    def step(v, inp):
+        lm_i, valid_i, i = inp
+        w = jnp.roll(v, 1, axis=1)
+        w = w.at[:, 0].set(skip * i)
+        v_new = jnp.logaddexp(v + lm_i, w + lm_i)
+        v_next = jnp.where(valid_i[:, None], v_new, v)
+        return v_next, v_next
+
+    idx = jnp.arange(T, dtype=lmatch.dtype)
+    _, lr = jax.lax.scan(step, v0, (lm_t, tv_t, idx))
+    return jnp.transpose(lr, (1, 0, 2))
+
+
+def forward_algorithm(lmatch: jax.Array, skip: float = SKIP) -> jax.Array:
+    """Single-example [T, S] forward DP (reference-shaped API)."""
+    lr = _forward_scan(lmatch[None], jnp.ones((1, lmatch.shape[0]), bool), skip)
+    return lr[0]
+
+
+def ctc_align_targets_batched(
+    probs: jax.Array,
+    target_ids: jax.Array,
+    *,
+    lengths: Optional[jax.Array] = None,
+    target_lengths: Optional[jax.Array] = None,
+    skip: float = SKIP,
+    lo: float = LO,
+) -> jax.Array:
+    """Batched CTC alignment: per-frame aligned posterior targets.
+
+    Args:
+      probs: [B, T, C] network posteriors (softmax outputs).
+      target_ids: [B, S] blank-interleaved class ids (mktargets_ids), padded
+        with zeros beyond each row's true state count.
+      lengths: [B] true frame counts (None = all T valid).
+      target_lengths: [B] true state counts (2N+1; None = all S valid).
+
+    Returns aligned [B, T, C]; rows for padded frames are uniform (mask them
+    in the loss). Matches the reference recipe step for step:
+      outputs = max(lo, probs); outputs /= rowsum
+      lmatch = log(outputs @ onehot(targets).T)
+      both = forward(lmatch) + flipped-forward(flipped lmatch)
+      epath = exp(both - max); normalize over time per state
+      aligned = max(lo, epath @ onehot(targets)); normalize over classes
+    """
+    B, T, C = probs.shape
+    S = target_ids.shape[1]
+    f32 = jnp.float32
+    probs = probs.astype(f32)
+
+    if lengths is None:
+        lengths = jnp.full((B,), T, jnp.int32)
+    if target_lengths is None:
+        target_lengths = jnp.full((B,), S, jnp.int32)
+
+    tvalid = jnp.arange(T)[None, :] < lengths[:, None]          # [B, T]
+    svalid = jnp.arange(S)[None, :] < target_lengths[:, None]   # [B, S]
+
+    out = jnp.maximum(probs, lo)
+    out = out / jnp.sum(out, axis=2, keepdims=True)
+
+    # lmatch[b,t,s] = log out[b,t,target_ids[b,s]]; NEG for invalid states.
+    gathered = jnp.take_along_axis(out, target_ids[:, None, :].astype(jnp.int32), axis=2)  # [B,T,S] via broadcast over t
+    lmatch = jnp.log(gathered)
+    lmatch = jnp.where(svalid[:, None, :], lmatch, NEG)
+
+    lr = _forward_scan(lmatch, tvalid, skip)
+
+    # Backward pass = forward over the (time, state)-reversed lattice,
+    # flipped within true lengths so padding never enters the DP.
+    lm_rev = flip_within_length(lmatch, lengths)                     # flip time
+    lm_rev = flip_within_length(jnp.swapaxes(lm_rev, 1, 2), target_lengths)
+    lm_rev = jnp.swapaxes(lm_rev, 1, 2)                              # flip state
+    rl = _forward_scan(lm_rev, tvalid, skip)
+    rl = flip_within_length(rl, lengths)
+    rl = jnp.swapaxes(flip_within_length(jnp.swapaxes(rl, 1, 2), target_lengths), 1, 2)
+
+    both = lr + rl
+    both = jnp.where(tvalid[:, :, None], both, NEG)
+    both = jnp.where(svalid[:, None, :], both, NEG)
+
+    m = jnp.max(both, axis=(1, 2), keepdims=True)
+    epath = jnp.exp(both - m)                                        # [B, T, S]
+    col = jnp.sum(epath, axis=1, keepdims=True)                      # per-state mass over time
+    epath = epath / jnp.where(col == 0.0, 1e-9, col)
+
+    onehot = jax.nn.one_hot(target_ids, C, dtype=f32)                # [B, S, C]
+    onehot = onehot * svalid[:, :, None]
+    aligned = jnp.einsum("bts,bsc->btc", epath, onehot)
+    aligned = jnp.maximum(aligned, lo)
+    aligned = aligned / jnp.sum(aligned, axis=2, keepdims=True)
+    return aligned
+
+
+def ctc_align_targets(probs: jax.Array, targets: jax.Array, *, skip: float = SKIP,
+                      lo: float = LO) -> jax.Array:
+    """Single-example reference-shaped API: probs [T, C], targets one-hot
+    [S, C] (as produced by ``mktargets``) -> aligned [T, C]."""
+    ids = jnp.argmax(targets, axis=1).astype(jnp.int32)
+    return ctc_align_targets_batched(probs[None], ids[None], skip=skip, lo=lo)[0]
+
+
+def greedy_frames(probs: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Device-side half of decoding: per-frame argmax ids and their probs.
+
+    probs: [..., T, C] -> (ids [..., T], vals [..., T]). Cheap to transfer;
+    the stateful run-collapse finishes on host (trivial_decode).
+    """
+    ids = jnp.argmax(probs, axis=-1)
+    vals = jnp.max(probs, axis=-1)
+    return ids, vals
+
+
+def trivial_decode(probs, length: Optional[int] = None, return_positions: bool = False):
+    """Greedy CTC decode of one line, reference semantics.
+
+    Reference ``trivial_decode`` (clstm.cc ≈L1250, unverified): scan frames;
+    within each maximal run delimited by blank-argmax frames, emit the single
+    class with the highest frame probability (peak picking, ocropy's
+    translate_back lineage), recording its frame index.
+
+    Accepts [T, C] probabilities (numpy or jax). Returns list of class ids,
+    or (ids, positions) when return_positions.
+    """
+    p = np.asarray(probs)
+    if length is not None:
+        p = p[:length]
+    ids = p.argmax(axis=1)
+    vals = p.max(axis=1)
+    return decode_frames(ids, vals, return_positions)
+
+
+def decode_frames(ids, vals, return_positions: bool = False):
+    """Host-side run-collapse over per-frame (argmax id, prob) arrays."""
+    ids = np.asarray(ids)
+    vals = np.asarray(vals)
+    out, pos = [], []
+    mv, mc, mt = 0.0, -1, -1
+    for t in range(len(ids)):
+        c = int(ids[t])
+        if c == 0:
+            if mc > 0:
+                out.append(mc)
+                pos.append(mt)
+            mv, mc, mt = 0.0, -1, -1
+        elif vals[t] > mv:
+            mv, mc, mt = float(vals[t]), c, t
+    if mc > 0:
+        out.append(mc)
+        pos.append(mt)
+    if return_positions:
+        return out, pos
+    return out

@@ -1,0 +1,177 @@
+"""Training: CTC-alignment loss + the reference's SGD semantics, one jit.
+
+Reference training step (clstmocrtrain.cc ≈L100 / clstmhl.h train_utf8,
+call stack SURVEY.md §3.1; all ≈L unverified):
+  forward -> ctc_align_targets -> inject ``outputs.d = aligned - outputs.v``
+  -> backward -> sgd_update.
+
+Two semantics matter for parity and are replicated exactly:
+
+1. **Delta convention.** The reference injects the delta at the *post-
+   softmax* outputs, but backward_softmax (clstm_compute.cc ≈L300) applies
+   it directly as the *pre-activation* (logit) delta — the classic
+   softmax+CE shortcut. The JAX equivalent is the cross-entropy surrogate
+   ``loss = -sum(stop_grad(aligned) * log_softmax(logits))`` whose logit
+   gradient is ``probs - aligned`` — exactly the negated reference delta.
+
+2. **Momentum.** Reference sgd_update (clstm.cc ≈L350) does
+   ``W.v += lr * W.d; W.d *= momentum`` where backward *accumulates* into
+   ``d``; unrolled this is heavy-ball: velocity_k = grad_k + mu*velocity_{k-1},
+   params -= lr * velocity_k (sign flipped because our grad = -d).
+   NOTE: like the reference, velocity is NOT checkpointed (.clstm stores no
+   optimizer state; SURVEY.md §5 checkpoint/resume).
+
+Learning-rate normalization modes {none, len, batch} scale each line's
+contribution (attr ``normalization``; default none — low confidence on the
+reference default).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from clstm_tpu.models.spec import NetSpec, apply_net
+from clstm_tpu.ops.ctc import ctc_align_targets_batched, greedy_frames
+from clstm_tpu.ops.seq import length_mask
+
+
+@struct.dataclass
+class TrainState:
+    params: dict
+    velocity: dict
+    step: jax.Array
+
+    @classmethod
+    def create(cls, params: dict) -> "TrainState":
+        return cls(
+            params=params,
+            velocity=jax.tree.map(jnp.zeros_like, params),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+
+def sgd_update(params: dict, velocity: dict, grads: dict, lr: float,
+               momentum: float):
+    """One reference-semantics SGD step; returns (params, velocity).
+
+    velocity_k = grad_k + momentum * velocity_{k-1};  p -= lr * velocity_k.
+    """
+    velocity = jax.tree.map(lambda g, v: g + momentum * v, grads, velocity)
+    params = jax.tree.map(lambda p, v: p - lr * v, params, velocity)
+    return params, velocity
+
+
+def ctc_alignment_loss(spec: NetSpec, params: dict, batch: dict, *,
+                       normalization: str = "none", compute_dtype=None):
+    """The reference training objective as a scalar surrogate loss.
+
+    batch: {"x": [B,T,D], "lengths": [B], "targets": [B,S] blank-interleaved
+    class ids, "target_lengths": [B]}.
+    Returns (loss, (probs, aligned)).
+    """
+    x, lengths = batch["x"], batch["lengths"]
+    logits = apply_net(spec, params, x, lengths, logits=True,
+                       compute_dtype=compute_dtype)
+    logits = logits.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    aligned = jax.lax.stop_gradient(
+        ctc_align_targets_batched(
+            jax.lax.stop_gradient(probs), batch["targets"],
+            lengths=lengths, target_lengths=batch["target_lengths"]))
+    mask = length_mask(lengths, x.shape[1])                       # [B, T]
+    ll = jax.nn.log_softmax(logits, axis=-1)
+    per_frame = -jnp.sum(aligned * ll, axis=-1) * mask            # [B, T]
+    per_line = jnp.sum(per_frame, axis=-1)                        # [B]
+    if normalization == "len":
+        per_line = per_line / jnp.maximum(lengths.astype(jnp.float32), 1.0)
+        loss = jnp.sum(per_line)
+    elif normalization == "batch":
+        loss = jnp.sum(per_line) / x.shape[0]
+    elif normalization == "none":
+        loss = jnp.sum(per_line)
+    else:
+        raise ValueError(f"unknown normalization: {normalization!r}")
+    return loss, (probs, aligned)
+
+
+def frame_target_loss(spec: NetSpec, params: dict, batch: dict, *,
+                      normalization: str = "none", compute_dtype=None):
+    """Direct per-frame supervision (the reference test-lstm.cc setup: the
+    delta ``targets - outputs`` is injected without CTC alignment).
+
+    batch: {"x": [B,T,D], "lengths": [B], "y": [B,T,C] one-hot frame targets}.
+    """
+    x, lengths = batch["x"], batch["lengths"]
+    logits = apply_net(spec, params, x, lengths, logits=True,
+                       compute_dtype=compute_dtype)
+    logits = logits.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    mask = length_mask(lengths, x.shape[1])
+    ll = jax.nn.log_softmax(logits, axis=-1)
+    per_frame = -jnp.sum(batch["y"] * ll, axis=-1) * mask
+    per_line = jnp.sum(per_frame, axis=-1)
+    if normalization == "len":
+        per_line = per_line / jnp.maximum(lengths.astype(jnp.float32), 1.0)
+    loss = jnp.sum(per_line)
+    if normalization == "batch":
+        loss = loss / x.shape[0]
+    return loss, (probs, batch["y"])
+
+
+_LOSSES = {"ctc": ctc_alignment_loss, "frames": frame_target_loss}
+
+
+def make_train_step(spec: NetSpec, lr: float, momentum: float, *,
+                    loss_kind: str = "ctc",
+                    normalization: str = "none", compute_dtype=None,
+                    donate: bool = True):
+    """Build the jitted end-to-end training step.
+
+    Returns step(state, batch) -> (state, metrics) where metrics carries the
+    scalar loss plus per-frame argmax ids/probs (tiny [B, T] arrays) so the
+    host can greedy-decode for the report lines without transferring the
+    full [B, T, C] posteriors.
+    """
+    loss_fn = _LOSSES[loss_kind]
+
+    def step(state: TrainState, batch: dict):
+        (loss, (probs, _aligned)), grads = jax.value_and_grad(
+            lambda p: loss_fn(spec, p, batch,
+                              normalization=normalization,
+                              compute_dtype=compute_dtype),
+            has_aux=True)(state.params)
+        params, velocity = sgd_update(state.params, state.velocity, grads,
+                                      lr, momentum)
+        ids, vals = greedy_frames(probs)
+        metrics = {"loss": loss, "frame_ids": ids, "frame_vals": vals}
+        new_state = TrainState(params=params, velocity=velocity,
+                               step=state.step + 1)
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_predict_step(spec: NetSpec, *, compute_dtype=None):
+    """Jitted inference: (params, x, lengths) -> per-frame (ids, vals)."""
+
+    @jax.jit
+    def predict(params: dict, x: jax.Array, lengths: Optional[jax.Array]):
+        probs = apply_net(spec, params, x, lengths, compute_dtype=compute_dtype)
+        return greedy_frames(probs.astype(jnp.float32))
+
+    return predict
+
+
+def make_forward(spec: NetSpec, *, compute_dtype=None):
+    """Jitted plain forward (posteriors), for tests and external use."""
+
+    @functools.partial(jax.jit)
+    def forward(params: dict, x: jax.Array, lengths: Optional[jax.Array] = None):
+        return apply_net(spec, params, x, lengths, compute_dtype=compute_dtype)
+
+    return forward

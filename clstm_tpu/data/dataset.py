@@ -1,0 +1,169 @@
+"""OCR dataset pipeline: manifests, line preparation, width-bucketed batches.
+
+Reference flow (clstmocrtrain.cc ≈L30-100, clstmhl.h train_utf8; SURVEY.md
+§3.1): a manifest file lists PNG line images, transcripts live in sibling
+.gt.txt files; each trial reads ONE line, dewarps it to target_height,
+transposes (time axis = x/width, feature dim = height) and trains with
+batch size 1.
+
+The TPU-native pipeline keeps the manifest/.gt.txt format but is built
+around **width-bucketed padded batches** — the single biggest throughput
+lever (SURVEY.md §7): lines are grouped into geometric width buckets so
+every batch has a static [B, T_bucket, H] shape (bounded set of XLA
+compilations), right-padded with blank frames and masked via lengths.
+Target state counts are bucketed the same way.
+
+Line preparation matches the ocropy/reference recipe: invert (ink high),
+measure+normalize with the CenterNormalizer, rescale to [0,1], pad blank
+frames on both sides to give CTC room.
+"""
+
+from __future__ import annotations
+
+import bisect
+import os
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from clstm_tpu.io.normalize import INormalizer, make_normalizer
+from clstm_tpu.io.png import read_png
+from clstm_tpu.models.codec import Codec
+from clstm_tpu.ops.ctc import mktargets_ids
+from clstm_tpu.utils.text import read_text
+
+# Default geometric width buckets (frames, after padding) and target-state
+# buckets. Bounded recompilation: at most len(T_BUCKETS)*len(S_BUCKETS)
+# distinct jit shapes.
+T_BUCKETS = (128, 192, 256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096)
+S_BUCKETS = (16, 32, 48, 64, 96, 128, 192, 256)
+
+
+def prepare_line(img: np.ndarray, normalizer: INormalizer,
+                 pad: int = 16) -> np.ndarray:
+    """Grayscale [h, w] in [0,1], ink-black-on-white -> model input [T, H].
+
+    Steps (ocropy prepare_line lineage, reference clstmhl.h ≈L120):
+    invert so ink is high, dewarp/scale to target height, renormalize to
+    [0,1], transpose to time-major, pad `pad` blank frames on each side.
+    """
+    inv = img.max() - img if img.size else img
+    normalizer.measure(inv)
+    strip = normalizer.normalize(inv)            # [target_height, w']
+    m = strip.max()
+    if m > 0:
+        strip = strip / m
+    x = strip.T.astype(np.float32)               # [w', H]
+    if pad > 0:
+        x = np.pad(x, ((pad, pad), (0, 0)))
+    return x
+
+
+def bucket_for(value: int, buckets: Sequence[int]) -> int:
+    """Smallest bucket >= value (last bucket if value exceeds all)."""
+    i = bisect.bisect_left(buckets, value)
+    return buckets[min(i, len(buckets) - 1)]
+
+
+class OcrDataset:
+    """Manifest of PNG line images with .gt.txt transcripts."""
+
+    def __init__(self, manifest: str, target_height: int = 48,
+                 dewarp: str = "center", pad: int = 16):
+        with open(manifest) as f:
+            self.files = [ln.strip() for ln in f if ln.strip()]
+        self.target_height = target_height
+        self.dewarp = dewarp
+        self.pad = pad
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def gt_path(self, i: int) -> str:
+        base = self.files[i]
+        for ext in (".png", ".jpg", ".jpeg", ".pgm", ".pbm"):
+            if base.endswith(ext):
+                base = base[: -len(ext)]
+                break
+        return base + ".gt.txt"
+
+    def text(self, i: int) -> str:
+        return read_text(self.gt_path(i))
+
+    def texts(self) -> List[str]:
+        return [self.text(i) for i in range(len(self))]
+
+    def build_codec(self) -> Codec:
+        return Codec.build(self.texts())
+
+    def load(self, i: int) -> Tuple[np.ndarray, str]:
+        """-> (prepared input [T, H], transcript)."""
+        img = read_png(self.files[i])
+        norm = make_normalizer(self.dewarp, self.target_height)
+        return prepare_line(img, norm, self.pad), self.text(i)
+
+
+def make_batches(samples: Sequence[Tuple[np.ndarray, str]], codec: Codec,
+                 batch_size: int,
+                 t_buckets: Sequence[int] = T_BUCKETS,
+                 s_buckets: Sequence[int] = S_BUCKETS,
+                 rng: Optional[np.random.RandomState] = None,
+                 drop_remainder: bool = False) -> Iterator[dict]:
+    """Group prepared (x [T,H], text) samples into bucketed padded batches.
+
+    Yields {"x": [B,Tb,H], "lengths": [B], "targets": [B,Sb],
+    "target_lengths": [B], "texts": list[str]} with B <= batch_size and all
+    rows in a batch sharing the same (Tb, Sb) bucket.
+    """
+    groups: dict = {}
+    order = np.arange(len(samples))
+    if rng is not None:
+        rng.shuffle(order)
+    for idx in order:
+        x, text = samples[idx]
+        classes = codec.encode(text)
+        tb = bucket_for(x.shape[0], t_buckets)
+        sb = bucket_for(2 * len(classes) + 1, s_buckets)
+        groups.setdefault((tb, sb), []).append((x, text, classes))
+        if len(groups[(tb, sb)]) == batch_size:
+            yield _emit(groups.pop((tb, sb)), tb, sb)
+    if not drop_remainder:
+        for (tb, sb), items in groups.items():
+            yield _emit(items, tb, sb)
+
+
+def _emit(items: list, tb: int, sb: int) -> dict:
+    B = len(items)
+    H = items[0][0].shape[1]
+    x = np.zeros((B, tb, H), np.float32)
+    lengths = np.zeros(B, np.int32)
+    targets = np.zeros((B, sb), np.int32)
+    tlens = np.zeros(B, np.int32)
+    texts = []
+    for b, (xi, text, classes) in enumerate(items):
+        T = min(xi.shape[0], tb)
+        x[b, :T] = xi[:T]
+        lengths[b] = T
+        ids = mktargets_ids(classes)
+        S = min(len(ids), sb)
+        targets[b, :S] = ids[:S]
+        tlens[b] = S
+        texts.append(text)
+    return {"x": x, "lengths": lengths, "targets": targets,
+            "target_lengths": tlens, "texts": texts}
+
+
+def pad_batch_rows(batch: dict, batch_size: int) -> dict:
+    """Right-pad a short batch to ``batch_size`` rows (zero lengths mask the
+    dummy rows out of loss and decode). Keeps jit shapes static."""
+    B = len(batch["lengths"])
+    if B == batch_size:
+        return batch
+    out = {}
+    for k, v in batch.items():
+        if k == "texts":
+            out[k] = list(v) + [""] * (batch_size - B)
+        else:
+            pad = [(0, batch_size - B)] + [(0, 0)] * (v.ndim - 1)
+            out[k] = np.pad(v, pad)
+    return out

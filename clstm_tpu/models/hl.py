@@ -1,0 +1,239 @@
+"""High-level task API: CLSTMOCR and CLSTMText.
+
+Reference: clstmhl.h (≈L1-350, unverified; empty mount — SURVEY.md §0).
+``CLSTMOCR`` wraps create/train/predict on line images (utf8 in/out, owns
+the normalizer and the image->sequence transpose); ``CLSTMText`` does
+string->string transduction with a separate input codec and one-hot input
+encoding. Both preserve the reference's single-sample methods
+(train_utf8 / predict_utf8) and add TPU-native batched entry points
+(train_batch / predict_batch) — the batched paths are where the throughput
+lives; the single-sample paths route through B=1 bucketed batches so they
+reuse the same compiled steps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from clstm_tpu.data.dataset import (
+    S_BUCKETS, T_BUCKETS, bucket_for, prepare_line)
+from clstm_tpu.io.normalize import make_normalizer
+from clstm_tpu.io.proto import load_net, save_net
+from clstm_tpu.models.codec import Codec
+from clstm_tpu.models.prefab import make_net
+from clstm_tpu.models.spec import NetSpec, init_net
+from clstm_tpu.ops.ctc import decode_frames, mktargets_ids
+from clstm_tpu.train import (
+    TrainState, make_predict_step, make_train_step)
+
+
+@dataclasses.dataclass
+class CharPrediction:
+    """Aligned per-character prediction (reference CharPrediction {i,x,c,p})."""
+
+    i: int      # character index in the output string
+    x: int      # x position (frame index mapped back to image columns)
+    c: str      # predicted character
+    p: float    # probability at the peak frame
+
+
+class _TrainableBase:
+    """Shared train/predict machinery over (spec, state, codec)."""
+
+    def __init__(self):
+        self.spec: Optional[NetSpec] = None
+        self.state: Optional[TrainState] = None
+        self.codec: Optional[Codec] = None
+        self.icodec: Optional[Codec] = None
+        self.lr = 1e-4
+        self.momentum = 0.9
+        self.normalization = "none"
+        self._step = None
+        self._predict = None
+
+    # -- reference API --
+    def setLearningRate(self, lr: float, momentum: float = 0.9) -> None:
+        self.lr = float(lr)
+        self.momentum = float(momentum)
+
+    def _ensure_compiled(self):
+        if self._step is None:
+            self._step = make_train_step(
+                self.spec, self.lr, self.momentum, loss_kind="ctc",
+                normalization=self.normalization, donate=False)
+            self._predict = make_predict_step(self.spec)
+
+    def train_batch(self, batch: dict) -> dict:
+        """Batched CTC training on a prepared batch dict (data/dataset.py).
+        Returns metrics {loss, frame_ids, frame_vals}."""
+        self._ensure_compiled()
+        jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "texts"}
+        self.state, metrics = self._step(self.state, jb, self.lr, self.momentum)
+        return metrics
+
+    def predict_batch(self, x: np.ndarray, lengths: np.ndarray):
+        """-> per-frame (ids [B,T], vals [B,T]) numpy arrays."""
+        self._ensure_compiled()
+        ids, vals = self._predict(self.state.params, jnp.asarray(x),
+                                  jnp.asarray(lengths))
+        return np.asarray(ids), np.asarray(vals)
+
+    # -- checkpointing (reference save/load; .clstm proto format) --
+    def save(self, fname: str) -> None:
+        save_net(fname, self.spec, self.state.params, codec=self.codec,
+                 icodec=self.icodec)
+
+    def load(self, fname: str) -> None:
+        spec, params, codec, icodec = load_net(fname)
+        self.spec = spec
+        self.state = TrainState.create(params)
+        if codec is not None:
+            self.codec = codec
+        if icodec is not None:
+            self.icodec = icodec
+        self._step = None
+        self._predict = None
+
+
+class CLSTMOCR(_TrainableBase):
+    """Line-image OCR (reference CLSTMOCR, clstmhl.h ≈L60-250).
+
+    Owns a normalizer; inputs are float [h, w] grayscale images in [0, 1]
+    (ink black on white); the time axis is the image width.
+    """
+
+    def __init__(self, target_height: int = 48, dewarp: str = "center",
+                 pad: int = 16):
+        super().__init__()
+        self.target_height = target_height
+        self.dewarp = dewarp
+        self.pad = pad
+
+    def createBidi(self, codec: Codec, nhidden: int, kind: str = "bidi",
+                   seed: int = 0, **extra) -> None:
+        """Build the standard bidi LSTM net: ninput=target_height,
+        noutput=codec.size() (reference createBidi -> make_net("bidi"))."""
+        self.codec = codec
+        args = {"ninput": self.target_height, "nhidden": nhidden,
+                "noutput": codec.size(), **extra}
+        self.spec = make_net(kind, args)
+        self.state = TrainState.create(
+            init_net(self.spec, jax.random.PRNGKey(seed)))
+        self._step = None
+
+    # -- preprocessing --
+    def prepare(self, image: np.ndarray) -> np.ndarray:
+        norm = make_normalizer(self.dewarp, self.target_height)
+        return prepare_line(image, norm, self.pad)
+
+    def _one_line_batch(self, x: np.ndarray, classes: Sequence[int]) -> dict:
+        tb = bucket_for(x.shape[0], T_BUCKETS)
+        ids = mktargets_ids(classes)
+        sb = bucket_for(len(ids), S_BUCKETS)
+        xb = np.zeros((1, tb, x.shape[1]), np.float32)
+        xb[0, : x.shape[0]] = x
+        tg = np.zeros((1, sb), np.int32)
+        tg[0, : len(ids)] = ids[:sb]
+        return {"x": xb,
+                "lengths": np.array([x.shape[0]], np.int32),
+                "targets": tg,
+                "target_lengths": np.array([min(len(ids), sb)], np.int32)}
+
+    # -- reference single-line API --
+    def train_utf8(self, image: np.ndarray, gt: str) -> str:
+        """Train on one line; returns the (pre-update) prediction string."""
+        x = self.prepare(image)
+        classes = self.codec.encode(gt)
+        batch = self._one_line_batch(x, classes)
+        metrics = self.train_batch(batch)
+        ids = np.asarray(metrics["frame_ids"])[0][: x.shape[0]]
+        vals = np.asarray(metrics["frame_vals"])[0][: x.shape[0]]
+        return self.codec.decode(decode_frames(ids, vals))
+
+    def predict_utf8(self, image: np.ndarray) -> str:
+        x = self.prepare(image)
+        ids, vals = self._predict_one(x)
+        return self.codec.decode(decode_frames(ids, vals))
+
+    def predict(self, image: np.ndarray) -> List[CharPrediction]:
+        """Aligned per-character predictions (reference aligned/charseg)."""
+        x = self.prepare(image)
+        ids, vals = self._predict_one(x)
+        cls, pos = decode_frames(ids, vals, return_positions=True)
+        out = []
+        for i, (c, t) in enumerate(zip(cls, pos)):
+            out.append(CharPrediction(
+                i=i, x=max(0, int(t) - self.pad),
+                c=chr(self.codec.codec[c]), p=float(vals[t])))
+        return out
+
+    def _predict_one(self, x: np.ndarray):
+        tb = bucket_for(x.shape[0], T_BUCKETS)
+        xb = np.zeros((1, tb, x.shape[1]), np.float32)
+        xb[0, : x.shape[0]] = x
+        ids, vals = self.predict_batch(xb, np.array([x.shape[0]], np.int32))
+        return ids[0][: x.shape[0]], vals[0][: x.shape[0]]
+
+
+class CLSTMText(_TrainableBase):
+    """String->string transduction (reference CLSTMText, clstmhl.h ≈L250).
+
+    Input strings are one-hot encoded with a separate input codec
+    (``icodec``); outputs decode through ``codec``.
+    """
+
+    def __init__(self):
+        super().__init__()
+
+    def createBidi(self, icodec: Codec, codec: Codec, nhidden: int,
+                   kind: str = "bidi", seed: int = 0, **extra) -> None:
+        self.icodec = icodec
+        self.codec = codec
+        args = {"ninput": icodec.size(), "nhidden": nhidden,
+                "noutput": codec.size(), **extra}
+        self.spec = make_net(kind, args)
+        self.state = TrainState.create(
+            init_net(self.spec, jax.random.PRNGKey(seed)))
+        self._step = None
+
+    def encode_input(self, s: str) -> np.ndarray:
+        """One-hot [T, icodec.size()] encoding of the input string."""
+        ids = self.icodec.encode(s)
+        x = np.zeros((max(len(ids), 1), self.icodec.size()), np.float32)
+        for t, c in enumerate(ids):
+            x[t, c] = 1.0
+        return x
+
+    def _one_batch(self, x: np.ndarray, classes: Sequence[int]) -> dict:
+        tb = bucket_for(x.shape[0], T_BUCKETS)
+        ids = mktargets_ids(classes)
+        sb = bucket_for(len(ids), S_BUCKETS)
+        xb = np.zeros((1, tb, x.shape[1]), np.float32)
+        xb[0, : x.shape[0]] = x
+        tg = np.zeros((1, sb), np.int32)
+        tg[0, : len(ids)] = ids[:sb]
+        return {"x": xb, "lengths": np.array([x.shape[0]], np.int32),
+                "targets": tg,
+                "target_lengths": np.array([min(len(ids), sb)], np.int32)}
+
+    def train(self, inp: str, out: str) -> str:
+        x = self.encode_input(inp)
+        batch = self._one_batch(x, self.codec.encode(out))
+        metrics = self.train_batch(batch)
+        ids = np.asarray(metrics["frame_ids"])[0][: x.shape[0]]
+        vals = np.asarray(metrics["frame_vals"])[0][: x.shape[0]]
+        return self.codec.decode(decode_frames(ids, vals))
+
+    def predict(self, inp: str) -> str:
+        x = self.encode_input(inp)
+        tb = bucket_for(x.shape[0], T_BUCKETS)
+        xb = np.zeros((1, tb, x.shape[1]), np.float32)
+        xb[0, : x.shape[0]] = x
+        ids, vals = self.predict_batch(xb, np.array([x.shape[0]], np.int32))
+        return self.codec.decode(
+            decode_frames(ids[0][: x.shape[0]], vals[0][: x.shape[0]]))

@@ -126,34 +126,43 @@ def frame_target_loss(spec: NetSpec, params: dict, batch: dict, *,
 _LOSSES = {"ctc": ctc_alignment_loss, "frames": frame_target_loss}
 
 
-def make_train_step(spec: NetSpec, lr: float, momentum: float, *,
+def make_train_step(spec: NetSpec, lr: float = 1e-4, momentum: float = 0.9, *,
                     loss_kind: str = "ctc",
                     normalization: str = "none", compute_dtype=None,
                     donate: bool = True):
     """Build the jitted end-to-end training step.
 
-    Returns step(state, batch) -> (state, metrics) where metrics carries the
-    scalar loss plus per-frame argmax ids/probs (tiny [B, T] arrays) so the
-    host can greedy-decode for the report lines without transferring the
-    full [B, T, C] posteriors.
+    Returns step(state, batch, lr=, momentum=) -> (state, metrics); lr and
+    momentum are traced scalars (defaults bound here), so changing them at
+    runtime — reference setLearningRate — does NOT recompile. metrics
+    carries the scalar loss plus per-frame argmax ids/probs (tiny [B, T]
+    arrays) so the host can greedy-decode report lines without transferring
+    the full [B, T, C] posteriors.
     """
     loss_fn = _LOSSES[loss_kind]
 
-    def step(state: TrainState, batch: dict):
+    def step(state: TrainState, batch: dict, lr_t, momentum_t):
         (loss, (probs, _aligned)), grads = jax.value_and_grad(
             lambda p: loss_fn(spec, p, batch,
                               normalization=normalization,
                               compute_dtype=compute_dtype),
             has_aux=True)(state.params)
         params, velocity = sgd_update(state.params, state.velocity, grads,
-                                      lr, momentum)
+                                      lr_t, momentum_t)
         ids, vals = greedy_frames(probs)
         metrics = {"loss": loss, "frame_ids": ids, "frame_vals": vals}
         new_state = TrainState(params=params, velocity=velocity,
                                step=state.step + 1)
         return new_state, metrics
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    jitted = jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    def wrapped(state: TrainState, batch: dict, lr_arg=None, momentum_arg=None):
+        return jitted(state, batch,
+                      jnp.float32(lr if lr_arg is None else lr_arg),
+                      jnp.float32(momentum if momentum_arg is None else momentum_arg))
+
+    return wrapped
 
 
 def make_predict_step(spec: NetSpec, *, compute_dtype=None):

@@ -1,0 +1,137 @@
+"""Normalizer, line renderer, and bucketing pipeline tests."""
+
+import numpy as np
+import pytest
+
+from clstm_tpu.data.dataset import (
+    OcrDataset, bucket_for, make_batches, pad_batch_rows, prepare_line)
+from clstm_tpu.data.lines import LineGenerator, make_dataset_dir
+from clstm_tpu.io.normalize import (
+    CenterNormalizer, MeanNormalizer, NoNormalizer, make_normalizer)
+from clstm_tpu.io.png import read_png, write_png
+from clstm_tpu.models.codec import Codec
+from clstm_tpu.utils.metrics import cer, levenshtein
+
+
+def _warped_line(h=60, w=400, amp=8.0, cycles=0.5):
+    """White-on-black sine-warped 'ink' stripe. Low-frequency drift by
+    default: the ocropy-faithful smoothing sigmas (h*0.5, h*1.0) only track
+    gradual baseline movement, by design."""
+    img = np.zeros((h, w), np.float32)
+    xs = np.arange(w)
+    centers = h / 2 + amp * np.sin(2 * np.pi * xs * cycles / w)
+    for x in range(w):
+        c = int(centers[x])
+        img[c - 3:c + 3, x] = 1.0
+    return img, centers
+
+
+def _com_spread(im, thresh=0.1):
+    ys = np.arange(im.shape[0])[:, None]
+    mass = im.sum(axis=0)
+    com = (im * ys).sum(axis=0) / np.maximum(mass, 1e-6)
+    return np.std(com[mass > thresh])
+
+
+def test_center_normalizer_straightens():
+    img, _ = _warped_line()
+    norm = CenterNormalizer(target_height=32)
+    out = norm(img)
+    assert out.shape[0] == 32
+    # Per-column ink center spread, measured in SOURCE pixel units (the
+    # output is zoomed by target_height/2r), must shrink substantially.
+    zoom_factor = 32.0 / (2 * norm.r)
+    raw = _com_spread(img)
+    dewarped = _com_spread(out) / zoom_factor
+    assert dewarped < 0.7 * raw, (dewarped, raw, norm.r)
+    # And the estimated center curve must track the true drift direction.
+    assert norm.center[len(norm.center) // 4] > norm.center[0]
+
+
+def test_normalizers_shapes_and_factory():
+    img, _ = _warped_line()
+    for kind, cls in (("center", CenterNormalizer), ("mean", MeanNormalizer),
+                      ("none", NoNormalizer)):
+        n = make_normalizer(kind, 48)
+        assert isinstance(n, cls)
+        out = n(img)
+        assert out.shape[0] == 48
+    with pytest.raises(ValueError):
+        make_normalizer("bogus")
+
+
+def test_prepare_line_polarity_and_pad():
+    # black text (0.0) on white (1.0)
+    img = np.ones((40, 100), np.float32)
+    img[15:25, 30:70] = 0.0
+    x = prepare_line(img, NoNormalizer(24), pad=5)
+    assert x.shape[1] == 24
+    assert x.shape[0] >= 100 * 24 // 40  # width scaled with height
+    # ink must be the HIGH values now, pad frames blank
+    assert x.max() > 0.5
+    assert np.all(x[:5] == 0) and np.all(x[-5:] == 0)
+
+
+def test_line_generator_and_dataset(tmp_path):
+    gen = LineGenerator(seed=1)
+    text = "Hello 42"
+    img = gen.render(text)
+    assert img.ndim == 2 and img.min() < 0.3 and img.max() > 0.9
+
+    manifest = make_dataset_dir(str(tmp_path / "ds"), 6, seed=2)
+    ds = OcrDataset(manifest, target_height=32)
+    assert len(ds) == 6
+    x, t = ds.load(0)
+    assert x.shape[1] == 32 and len(t) > 0
+    codec = ds.build_codec()
+    assert codec.size() > 2
+    ids = codec.encode(t)
+    assert codec.decode(ids) == "".join(ch for ch in t if ord(ch) in codec._enc)
+
+
+def test_png_round_trip(tmp_path):
+    img = np.linspace(0, 1, 64 * 32, dtype=np.float32).reshape(32, 64)
+    f = str(tmp_path / "t.png")
+    write_png(f, img)
+    back = read_png(f)
+    np.testing.assert_allclose(back, img, atol=1 / 255.0 + 1e-6)
+
+
+def test_bucketing():
+    assert bucket_for(100, (128, 256)) == 128
+    assert bucket_for(128, (128, 256)) == 128
+    assert bucket_for(129, (128, 256)) == 256
+    assert bucket_for(9999, (128, 256)) == 256
+
+    codec = Codec.build(["ab"])
+    rng = np.random.RandomState(0)
+    samples = []
+    for i in range(10):
+        T = rng.randint(20, 300)
+        samples.append((rng.rand(T, 8).astype(np.float32), "ab"))
+    batches = list(make_batches(samples, codec, batch_size=4,
+                                t_buckets=(64, 128, 256, 512),
+                                s_buckets=(8, 16), rng=rng))
+    total = sum(len(b["texts"]) for b in batches)
+    assert total == 10
+    for b in batches:
+        B, T, H = b["x"].shape
+        assert T in (64, 128, 256, 512)
+        assert b["targets"].shape[1] in (8, 16)
+        assert np.all(b["lengths"] <= T)
+        for r in range(B):
+            # padding beyond length must be zero
+            assert np.all(b["x"][r, b["lengths"][r]:] == 0)
+
+    padded = pad_batch_rows(batches[0], 4)
+    assert padded["x"].shape[0] == 4
+    assert len(padded["texts"]) == 4
+
+
+def test_levenshtein():
+    assert levenshtein("kitten", "sitting") == 3
+    assert levenshtein("", "abc") == 3
+    assert levenshtein("abc", "abc") == 0
+    assert levenshtein(list("abc"), list("axc")) == 1
+    assert cer("hello", "hallo") == 0.2
+    assert cer("", "") == 0.0

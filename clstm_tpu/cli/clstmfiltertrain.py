@@ -1,0 +1,107 @@
+"""clstmfiltertrain — string-transduction training CLI.
+
+Reference: clstmfiltertrain.cc (≈L1-200, unverified; SURVEY.md §3.4).
+Usage:  clstmfiltertrain TRAIN.tsv [TEST.tsv]
+where each line is ``input<TAB>output``. Env params mirror clstmocrtrain:
+save_name, load, ntrain, lrate, momentum, nhidden, report_every,
+save_every, test_every, randseed, net=bidi.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+from clstm_tpu.models.codec import Codec
+from clstm_tpu.models.hl import CLSTMText
+from clstm_tpu.utils.config import getdenv, getienv, getsenv
+from clstm_tpu.utils.metrics import levenshtein
+
+
+def read_tsv(fname: str):
+    pairs = []
+    with open(fname, encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            if "\t" in line:
+                a, b = line.split("\t", 1)
+            else:
+                a, b = line, line
+            pairs.append((a, b))
+    return pairs
+
+
+def evaluate(model: CLSTMText, pairs) -> float:
+    err = chars = 0
+    for a, b in pairs:
+        pred = model.predict(a)
+        err += levenshtein(b, pred)
+        chars += len(b)
+    return err / max(chars, 1)
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv:
+        print(__doc__)
+        return 1
+    save_name = getsenv("save_name", "filter")
+    load = getsenv("load", "")
+    ntrain = getienv("ntrain", 1000000)
+    lrate = getdenv("lrate", 1e-4)
+    momentum = getdenv("momentum", 0.9)
+    nhidden = getienv("nhidden", 100)
+    report_every = getienv("report_every", 100)
+    save_every = getienv("save_every", 1000)
+    test_every = getienv("test_every", 10000)
+    randseed = getienv("randseed", 0)
+    net_kind = getsenv("net", "bidi")
+
+    train_pairs = read_tsv(argv[0])
+    test_pairs = read_tsv(argv[1]) if len(argv) > 1 else None
+    print(f"# {len(train_pairs)} training pairs"
+          + (f", {len(test_pairs)} test pairs" if test_pairs else ""))
+
+    model = CLSTMText()
+    if load:
+        model.load(load)
+        print(f"# loaded {load}")
+    else:
+        icodec = Codec.build(a for a, _ in train_pairs)
+        codec = Codec.build(b for _, b in train_pairs)
+        model.createBidi(icodec, codec, nhidden, kind=net_kind, seed=randseed)
+    model.setLearningRate(lrate, momentum)
+
+    rng = np.random.RandomState(randseed)
+    trials = 0
+    best_err = float("inf")
+    t0 = time.time()
+    while trials < ntrain:
+        a, b = train_pairs[rng.randint(len(train_pairs))]
+        pred = model.train(a, b)
+        trials += 1
+        if trials % report_every == 0:
+            rate = trials / (time.time() - t0)
+            print(f"{trials} ({rate:.1f} pairs/s)")
+            print(f"   INP: {a!r}")
+            print(f"   TRU: {b!r}")
+            print(f"   OUT: {pred!r}", flush=True)
+        if test_pairs and trials % test_every == 0:
+            err = evaluate(model, test_pairs)
+            print(f"TESTERR {trials} {err:.4f}", flush=True)
+            if err < best_err:
+                best_err = err
+                model.save(save_name + ".clstm")
+                print(f"# saved best ({err:.4f}) to {save_name}.clstm")
+        if trials % save_every == 0:
+            model.save(save_name + "-last.clstm")
+    model.save(save_name + "-last.clstm")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

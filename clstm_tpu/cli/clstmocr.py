@@ -1,0 +1,88 @@
+"""clstmocr — OCR inference CLI.
+
+Reference: clstmocr.cc (≈L1-150, unverified). Usage:
+  load=model.clstm clstmocr IMG.png [IMG2.png ...]
+Env params:
+  load=model.clstm  (required) model file
+  output=text       "text" prints to stdout; "sidecar" writes IMG.txt files
+  charseg=0         also print per-character x positions (CharPrediction)
+  dewarp=center / target_height: taken from the model's input size by
+  default; dewarp kind from env.
+Batched page inference (BASELINE config 5): all given images are bucketed
+and run as batches, not one by one.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from clstm_tpu.data.dataset import T_BUCKETS, bucket_for
+from clstm_tpu.io.png import read_png
+from clstm_tpu.models.hl import CLSTMOCR
+from clstm_tpu.ops.ctc import decode_frames
+from clstm_tpu.utils.config import getienv, getsenv
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    load = getsenv("load", "")
+    if not load or not argv:
+        print(__doc__)
+        return 1
+    output = getsenv("output", "text")
+    charseg = getienv("charseg", 0)
+    dewarp = getsenv("dewarp", "center")
+
+    ocr = CLSTMOCR(dewarp=dewarp)
+    ocr.load(load)
+    # target_height is the net's input dim (persisted in proto attrs).
+    ocr.target_height = ocr.spec.iget("ninput", ocr.target_height)
+
+    # Prepare all lines, then run bucketed batches (batched page inference).
+    prepared = [(ocr.prepare(read_png(f)), f) for f in argv]
+    by_bucket: dict = {}
+    for i, (x, f) in enumerate(prepared):
+        tb = bucket_for(x.shape[0], T_BUCKETS)
+        by_bucket.setdefault(tb, []).append(i)
+
+    results: dict = {}
+    for tb, idxs in by_bucket.items():
+        H = prepared[idxs[0]][0].shape[1]
+        xb = np.zeros((len(idxs), tb, H), np.float32)
+        lengths = np.zeros(len(idxs), np.int32)
+        for r, i in enumerate(idxs):
+            x = prepared[i][0]
+            T = min(x.shape[0], tb)
+            xb[r, :T] = x[:T]
+            lengths[r] = T
+        ids, vals = ocr.predict_batch(xb, lengths)
+        for r, i in enumerate(idxs):
+            L = lengths[r]
+            cls, pos = decode_frames(ids[r][:L], vals[r][:L],
+                                     return_positions=True)
+            results[i] = (cls, pos, vals[r])
+
+    for i, (x, f) in enumerate(prepared):
+        cls, pos, vals = results[i]
+        text = ocr.codec.decode(cls)
+        if output == "sidecar":
+            out = f
+            for ext in (".png", ".jpg", ".jpeg"):
+                if out.endswith(ext):
+                    out = out[: -len(ext)]
+                    break
+            with open(out + ".txt", "w", encoding="utf-8") as fh:
+                fh.write(text + "\n")
+        else:
+            print(f"{f}\t{text}")
+        if charseg:
+            for j, (c, t) in enumerate(zip(cls, pos)):
+                ch = chr(ocr.codec.codec[c])
+                print(f"# {j} {max(0, t - ocr.pad)} {ch!r} {vals[t]:.3f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,149 @@
+"""clstmocrtrain — OCR training CLI.
+
+Reference: clstmocrtrain.cc (≈L1-250, unverified; SURVEY.md §3.1).
+Usage:  clstmocrtrain TRAIN.files [TEST.files]
+with the reference env params (defaults follow the reference where known):
+  save_name=model    checkpoint basename (.clstm appended)
+  load=              resume from a .clstm checkpoint
+  ntrain=1000000     number of training lines (trials)
+  lrate=1e-4         learning rate
+  momentum=0.9
+  nhidden=100        hidden units per direction
+  report_every=100   print truth/pred lines
+  save_every=1000    periodic checkpoint
+  test_every=10000   evaluate test-set CER, track best model
+  target_height=48   line normalization height
+  dewarp=center      normalizer kind (center/mean/none)
+  randseed=0
+TPU-native additions (no reference equivalent):
+  batch_size=32      lines per device batch (the throughput lever)
+  net=bidi           prefab kind (bidi/bidi2/lstm1/...)
+  log_jsonl=         path for structured JSONL metrics
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+from clstm_tpu.data.dataset import OcrDataset, make_batches
+from clstm_tpu.models.hl import CLSTMOCR
+from clstm_tpu.ops.ctc import decode_frames
+from clstm_tpu.utils.config import getdenv, getienv, getsenv
+from clstm_tpu.utils.metrics import levenshtein
+
+
+def evaluate(ocr: CLSTMOCR, samples, codec, batch_size: int) -> float:
+    """Batched test-set CER (reference test loop, clstmocrtrain.cc ≈L180)."""
+    total_err = 0
+    total_chars = 0
+    for batch in make_batches(samples, codec, batch_size):
+        ids, vals = ocr.predict_batch(batch["x"], batch["lengths"])
+        for b, text in enumerate(batch["texts"]):
+            L = batch["lengths"][b]
+            pred = ocr.codec.decode(decode_frames(ids[b][:L], vals[b][:L]))
+            total_err += levenshtein(text, pred)
+            total_chars += len(text)
+    return total_err / max(total_chars, 1)
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv:
+        print(__doc__)
+        return 1
+
+    save_name = getsenv("save_name", "model")
+    load = getsenv("load", "")
+    ntrain = getienv("ntrain", 1000000)
+    lrate = getdenv("lrate", 1e-4)
+    momentum = getdenv("momentum", 0.9)
+    nhidden = getienv("nhidden", 100)
+    report_every = getienv("report_every", 100)
+    save_every = getienv("save_every", 1000)
+    test_every = getienv("test_every", 10000)
+    target_height = getienv("target_height", 48)
+    dewarp = getsenv("dewarp", "center")
+    randseed = getienv("randseed", 0)
+    batch_size = getienv("batch_size", 32)
+    net_kind = getsenv("net", "bidi")
+    log_jsonl = getsenv("log_jsonl", "")
+
+    train_ds = OcrDataset(argv[0], target_height=target_height, dewarp=dewarp)
+    test_ds = (OcrDataset(argv[1], target_height=target_height, dewarp=dewarp)
+               if len(argv) > 1 else None)
+    print(f"# {len(train_ds)} training lines"
+          + (f", {len(test_ds)} test lines" if test_ds else ""))
+
+    ocr = CLSTMOCR(target_height=target_height, dewarp=dewarp)
+    if load:
+        ocr.load(load)
+        codec = ocr.codec
+        print(f"# loaded {load}")
+    else:
+        codec = train_ds.build_codec()
+        ocr.createBidi(codec, nhidden, kind=net_kind, seed=randseed)
+    ocr.setLearningRate(lrate, momentum)
+    print(f"# codec size {codec.size()}, net {net_kind}, nhidden {nhidden}")
+
+    print("# preparing lines...", flush=True)
+    samples = [train_ds.load(i) for i in range(len(train_ds))]
+    test_samples = ([test_ds.load(i) for i in range(len(test_ds))]
+                    if test_ds else None)
+
+    rng = np.random.RandomState(randseed)
+    jsonl = open(log_jsonl, "a") if log_jsonl else None
+    trials = 0
+    best_err = float("inf")
+    next_report = 0
+    next_save = save_every
+    next_test = test_every
+    t0 = time.time()
+    while trials < ntrain:
+        for batch in make_batches(samples, codec, batch_size, rng=rng):
+            m = ocr.train_batch(batch)
+            trials += len(batch["texts"])
+            if trials >= next_report:
+                next_report += report_every
+                b = 0
+                L = batch["lengths"][b]
+                ids = np.asarray(m["frame_ids"])[b][:L]
+                vals = np.asarray(m["frame_vals"])[b][:L]
+                pred = codec.decode(decode_frames(ids, vals))
+                rate = trials / (time.time() - t0)
+                print(f"{trials} {float(m['loss']):.4f} ({rate:.1f} lines/s)")
+                print(f"   TRU: {batch['texts'][b]!r}")
+                print(f"   OUT: {pred!r}", flush=True)
+                if jsonl:
+                    jsonl.write(json.dumps({
+                        "trial": trials, "loss": float(m["loss"]),
+                        "lines_per_sec": rate}) + "\n")
+                    jsonl.flush()
+            if test_samples and trials >= next_test:
+                next_test += test_every
+                err = evaluate(ocr, test_samples, codec, batch_size)
+                print(f"TESTERR {trials} {err:.4f}", flush=True)
+                if jsonl:
+                    jsonl.write(json.dumps({"trial": trials, "test_cer": err}) + "\n")
+                    jsonl.flush()
+                if err < best_err:
+                    best_err = err
+                    ocr.save(save_name + ".clstm")
+                    print(f"# saved best ({err:.4f}) to {save_name}.clstm")
+            if trials >= next_save:
+                next_save += save_every
+                ocr.save(save_name + "-last.clstm")
+            if trials >= ntrain:
+                break
+    ocr.save(save_name + "-last.clstm")
+    print(f"# done: {trials} trials in {time.time()-t0:.1f}s")
+    if jsonl:
+        jsonl.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

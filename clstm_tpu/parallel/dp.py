@@ -1,0 +1,89 @@
+"""Data-parallel training step via shard_map.
+
+Design (SURVEY.md §2 parallelism plan): each device computes the
+CTC-alignment loss and gradients on its shard of a width-bucketed padded
+line batch; gradients (and the scalar loss) are summed with ``psum`` over
+the mesh's data axis — the collective XLA lowers onto the ICI ring — and
+the (replicated) SGD-with-momentum update is applied identically on every
+device. Semantically identical to the single-chip step on the concatenated
+batch: per-line loss contributions are summed in both cases.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from clstm_tpu.models.spec import NetSpec
+from clstm_tpu.ops.ctc import greedy_frames
+from clstm_tpu.parallel.mesh import DATA_AXIS
+from clstm_tpu.train import TrainState, _LOSSES, sgd_update
+
+
+def pmean_tree(tree, axis: str):
+    return jax.tree.map(lambda x: jax.lax.pmean(x, axis), tree)
+
+
+def psum_tree(tree, axis: str):
+    return jax.tree.map(lambda x: jax.lax.psum(x, axis), tree)
+
+
+def make_parallel_train_step(spec: NetSpec, mesh: Mesh,
+                             lr: float = 1e-4, momentum: float = 0.9, *,
+                             loss_kind: str = "ctc",
+                             normalization: str = "none",
+                             compute_dtype=None,
+                             axis: str = DATA_AXIS,
+                             donate: bool = True):
+    """Build the jitted multi-chip training step.
+
+    Returns step(state, batch, lr=, momentum=) with state replicated and
+    batch sharded along ``axis`` (see parallel.mesh helpers). Gradients are
+    psum-reduced, so the update equals the single-device update on the full
+    batch (loss convention: summed per-line contributions).
+    """
+    loss_fn = _LOSSES[loss_kind]
+
+    def device_step(state: TrainState, batch: dict, lr_t, momentum_t):
+        (loss, (probs, _)), grads = jax.value_and_grad(
+            lambda p: loss_fn(spec, p, batch,
+                              normalization=normalization,
+                              compute_dtype=compute_dtype),
+            has_aux=True)(state.params)
+        grads = psum_tree(grads, axis)
+        loss = jax.lax.psum(loss, axis)
+        params, velocity = sgd_update(state.params, state.velocity, grads,
+                                      lr_t, momentum_t)
+        ids, vals = greedy_frames(probs)
+        new_state = TrainState(params=params, velocity=velocity,
+                               step=state.step + 1)
+        return new_state, {"loss": loss, "frame_ids": ids,
+                           "frame_vals": vals}
+
+    batch_specs = {"x": P(axis), "lengths": P(axis),
+                   "targets": P(axis), "target_lengths": P(axis)}
+    if loss_kind == "frames":
+        batch_specs = {"x": P(axis), "lengths": P(axis), "y": P(axis)}
+
+    sharded = jax.shard_map(
+        device_step, mesh=mesh,
+        in_specs=(P(), batch_specs, P(), P()),
+        out_specs=(P(), {"loss": P(), "frame_ids": P(axis),
+                         "frame_vals": P(axis)}),
+        # The scan carries inside lstm_apply start replicated and become
+        # axis-varying on first use; keep the compute kernels mesh-agnostic
+        # rather than threading pvary through them.
+        check_vma=False,
+    )
+
+    jitted = jax.jit(sharded, donate_argnums=(0,) if donate else ())
+
+    def wrapped(state, batch, lr_arg=None, momentum_arg=None):
+        return jitted(state, batch,
+                      jnp.float32(lr if lr_arg is None else lr_arg),
+                      jnp.float32(momentum if momentum_arg is None else momentum_arg))
+
+    return wrapped

@@ -1,0 +1,112 @@
+"""CLI entry-point tests: env-var config semantics (reference L7 layer),
+run in-process on tiny synthetic data."""
+
+import os
+
+import numpy as np
+import pytest
+
+from clstm_tpu.data.lines import LineGenerator, make_dataset_dir
+
+
+@pytest.fixture()
+def ocr_data(tmp_path):
+    gen = LineGenerator(seed=5, fontsize=(20, 22), warp_amp=(0.0, 0.0),
+                        noise=0.0, charset="ab")
+    texts = [gen.random_text(2, 4) for _ in range(8)]
+    manifest = make_dataset_dir(str(tmp_path / "train"), len(texts),
+                                gen=gen, texts=texts)
+    test_manifest = make_dataset_dir(str(tmp_path / "test"), 4, gen=gen,
+                                     texts=texts[:4])
+    return manifest, test_manifest
+
+
+def test_clstmocrtrain_and_clstmocr(ocr_data, tmp_path, monkeypatch, capsys):
+    manifest, test_manifest = ocr_data
+    save = str(tmp_path / "model")
+    env = {
+        "save_name": save, "ntrain": "700", "lrate": "6e-3",
+        "momentum": "0.9", "nhidden": "24", "report_every": "200",
+        "save_every": "400", "test_every": "600", "target_height": "24",
+        "dewarp": "none", "batch_size": "8", "randseed": "0",
+        "log_jsonl": str(tmp_path / "m.jsonl"),
+    }
+    for k, v in env.items():
+        monkeypatch.setenv(k, v)
+
+    from clstm_tpu.cli import clstmocrtrain
+    rc = clstmocrtrain.main([manifest, test_manifest])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "TRU:" in out and "OUT:" in out and "TESTERR" in out
+    assert os.path.exists(save + "-last.clstm")
+    assert os.path.exists(str(tmp_path / "m.jsonl"))
+
+    # Inference CLI on the saved model.
+    from clstm_tpu.cli import clstmocr
+    monkeypatch.setenv("load", save + "-last.clstm")
+    monkeypatch.setenv("charseg", "1")
+    with open(manifest) as f:
+        imgs = [ln.strip() for ln in f][:3]
+    rc = clstmocr.main(imgs)
+    assert rc == 0
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if l and not l.startswith("#")]
+    assert len(lines) == 3
+    for l in lines:
+        assert "\t" in l
+
+    # Sidecar output mode.
+    monkeypatch.setenv("output", "sidecar")
+    monkeypatch.setenv("charseg", "0")
+    rc = clstmocr.main(imgs[:1])
+    assert rc == 0
+    sidecar = imgs[0][:-4] + ".txt"
+    assert os.path.exists(sidecar)
+
+
+def test_clstmocr_requires_load(monkeypatch, capsys):
+    monkeypatch.delenv("load", raising=False)
+    from clstm_tpu.cli import clstmocr
+    assert clstmocr.main(["x.png"]) == 1
+
+
+def test_clstmfiltertrain_and_filter(tmp_path, monkeypatch, capsys):
+    rng = np.random.RandomState(0)
+
+    def norep(n):
+        s = [rng.choice(list("abc"))]
+        while len(s) < n:
+            c = rng.choice(list("abc"))
+            if c != s[-1]:
+                s.append(c)
+        return "".join(s)
+
+    pairs = [(s, s[:3].upper()) for s in (norep(6) for _ in range(24))]
+    tsv = tmp_path / "train.tsv"
+    tsv.write_text("\n".join(f"{a}\t{b}" for a, b in pairs) + "\n")
+
+    save = str(tmp_path / "filter")
+    env = {"save_name": save, "ntrain": "900", "lrate": "0.05",
+           "momentum": "0.9", "nhidden": "16", "report_every": "300",
+           "save_every": "900", "test_every": "450", "randseed": "0"}
+    for k, v in env.items():
+        monkeypatch.setenv(k, v)
+
+    from clstm_tpu.cli import clstmfiltertrain
+    rc = clstmfiltertrain.main([str(tsv), str(tsv)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "TESTERR" in out
+    assert os.path.exists(save + "-last.clstm")
+
+    # clstmfilter reads stdin.
+    import io as _io
+    import sys as _sys
+    from clstm_tpu.cli import clstmfilter
+    monkeypatch.setenv("load", save + "-last.clstm")
+    monkeypatch.setattr(_sys, "stdin", _io.StringIO(pairs[0][0] + "\n"))
+    rc = clstmfilter.main([])
+    assert rc == 0
+    out = capsys.readouterr().out.strip()
+    assert isinstance(out, str)

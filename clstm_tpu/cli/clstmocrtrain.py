@@ -90,9 +90,8 @@ def main(argv=None) -> int:
     print(f"# codec size {codec.size()}, net {net_kind}, nhidden {nhidden}")
 
     print("# preparing lines...", flush=True)
-    samples = [train_ds.load(i) for i in range(len(train_ds))]
-    test_samples = ([test_ds.load(i) for i in range(len(test_ds))]
-                    if test_ds else None)
+    samples = train_ds.load_all()
+    test_samples = test_ds.load_all() if test_ds else None
 
     rng = np.random.RandomState(randseed)
     jsonl = open(log_jsonl, "a") if log_jsonl else None

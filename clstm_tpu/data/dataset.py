@@ -102,6 +102,19 @@ class OcrDataset:
         norm = make_normalizer(self.dewarp, self.target_height)
         return prepare_line(img, norm, self.pad), self.text(i)
 
+    def load_all(self, nthreads: int = 0) -> List[Tuple[np.ndarray, str]]:
+        """Load and prepare every line, using the native threaded
+        decode+normalize pipeline (native/clstm_io.cc) when built —
+        an order of magnitude faster than the per-line Python path."""
+        from clstm_tpu.io import native
+        texts = self.texts()
+        if native.available():
+            with native.PrefetchLoader(self.files, self.target_height,
+                                       pad=self.pad, dewarp=self.dewarp,
+                                       nthreads=nthreads) as loader:
+                return [(loader.get(i), texts[i]) for i in range(len(self))]
+        return [(self.load(i)[0], texts[i]) for i in range(len(self))]
+
 
 def make_batches(samples: Sequence[Tuple[np.ndarray, str]], codec: Codec,
                  batch_size: int,

@@ -105,7 +105,12 @@ class CenterNormalizer(INormalizer):
         self.shape = (h, w)
         a = np.argmax(smoothed, axis=0).astype(np.float64)
         a = gaussian_filter1d(a, h * self.extra)
-        self.center = np.array(a, dtype=np.int64)
+        # The smoothed curve sits on exact integers wherever argmax is
+        # locally constant; raw truncation would amplify 1e-14 float noise
+        # into a full-pixel shift (and makes native/Python parity a coin
+        # flip). The epsilon stabilizes the knife edge; it only matters
+        # within 1e-6 px of an integer. Mirrored in native/clstm_io.cc.
+        self.center = np.array(a + 1e-6, dtype=np.int64)
         deltas = np.abs(np.arange(h)[:, None] - self.center[None, :])
         ink = line != 0
         self.mad = float(deltas[ink].mean()) if ink.any() else h / 4.0

@@ -25,7 +25,7 @@ from typing import Callable, Mapping, Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-from clstm_tpu.ops.lstm import lstm_init, lstm_apply
+from clstm_tpu.ops.lstm import bidi_lstm_apply, lstm_init, lstm_apply
 from clstm_tpu.ops.nonlin import nonlin_apply
 from clstm_tpu.ops.seq import flip_within_length
 
@@ -131,6 +131,7 @@ class ApplyCtx:
 
     logits: bool = False        # make the final SoftmaxLayer emit logits
     compute_dtype: object = None  # e.g. jnp.bfloat16 for matmuls
+    fuse_bidi: bool = True      # one-scan execution of the bidi idiom
 
 
 def init_net(spec: NetSpec, key: jax.Array) -> dict:
@@ -146,15 +147,19 @@ def init_net(spec: NetSpec, key: jax.Array) -> dict:
 
 def apply_net(spec: NetSpec, params: dict, x: jax.Array,
               lengths: Optional[jax.Array] = None, *,
-              logits: bool = False, compute_dtype=None) -> jax.Array:
+              logits: bool = False, compute_dtype=None,
+              fuse_bidi: bool = True) -> jax.Array:
     """Pure forward pass: [B, T, D] right-padded batch -> [B, T, O].
 
     ``logits=True`` makes the outermost SoftmaxLayer return pre-softmax
     logits — the training loss needs them because the reference's
     backward_softmax treats the injected delta as the *pre-activation*
     delta (clstm_compute.cc backward_softmax, ≈L300; see train.py).
+    ``fuse_bidi=False`` disables the fused one-scan bidi execution plan
+    (used to test its equivalence to the literal combinator semantics).
     """
-    ctx = ApplyCtx(logits=logits, compute_dtype=compute_dtype)
+    ctx = ApplyCtx(logits=logits, compute_dtype=compute_dtype,
+                   fuse_bidi=fuse_bidi)
     return _apply(spec, params, x, lengths, ctx)
 
 
@@ -276,7 +281,27 @@ def _stacked_apply(spec, params, x, lengths, ctx):
     return x
 
 
+def _is_bidi_pair(spec: NetSpec) -> bool:
+    """Detect the reference bidi idiom Parallel(NPLSTM, Reversed(NPLSTM))
+    so it can dispatch to the fused one-scan kernel. The spec tree (and so
+    the .clstm checkpoint layout) is unchanged — this is purely an
+    execution-plan choice."""
+    if len(spec.sub) != 2:
+        return False
+    a, b = spec.sub
+    return (resolve_kind(a.kind) == "NPLSTM"
+            and resolve_kind(b.kind) == "Reversed"
+            and len(b.sub) == 1
+            and resolve_kind(b.sub[0].kind) == "NPLSTM"
+            and a.iget("nhidden") == b.sub[0].iget("nhidden"))
+
+
 def _parallel_apply(spec, params, x, lengths, ctx):
+    if ctx.fuse_bidi and _is_bidi_pair(spec):
+        return bidi_lstm_apply(
+            params["sub"][0]["weights"],
+            params["sub"][1]["sub"][0]["weights"],
+            x, lengths, compute_dtype=ctx.compute_dtype)
     sub_ctx = dataclasses.replace(ctx, logits=False)
     ys = [_apply(s, p, x, lengths, sub_ctx) for s, p in zip(spec.sub, params["sub"])]
     return jnp.concatenate(ys, axis=-1)

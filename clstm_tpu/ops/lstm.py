@@ -37,6 +37,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from clstm_tpu.ops.seq import flip_within_length
+
 GATE_ORDER = ("GI", "GF", "GO", "CI")
 
 
@@ -110,3 +112,64 @@ def lstm_apply(params: dict, x: jax.Array, lengths: Optional[jax.Array] = None,
     c0 = jnp.zeros((B, H), jnp.float32)
     _, hs = jax.lax.scan(step, (h0, c0), (xz, valid), unroll=unroll)
     return jnp.transpose(hs, (1, 0, 2)).astype(x.dtype)  # [B, T, H]
+
+
+def bidi_lstm_apply(params_f: dict, params_r: dict, x: jax.Array,
+                    lengths: Optional[jax.Array] = None, *,
+                    compute_dtype=None, unroll: int = 1) -> jax.Array:
+    """Fused bidirectional LSTM: both directions in ONE lax.scan.
+
+    Semantically identical to
+      concat([lstm_apply(params_f, x), flip(lstm_apply(params_r, flip(x)))])
+    — the reference's Parallel(NPLSTM, Reversed(NPLSTM)) (clstm_prefab.cc
+    "bidi") — but with the two recurrences stacked on a leading group axis
+    so the sequential dependency chain is T steps instead of 2T. The
+    recurrence is latency-bound at CLSTM sizes (the per-step matmul is tiny
+    for the MXU), so halving the chain ≈ halves wall-clock (BASELINE.md
+    round-1 observations).
+
+    Returns [B, T, 2H]: forward features then backward features, matching
+    the reference Parallel concat order.
+    """
+    B, T, D = x.shape
+    H = params_f["Wh"].shape[0]
+    cd = compute_dtype or x.dtype
+    xr = flip_within_length(x, lengths)
+
+    # Input projections for both streams in one einsum: [2, B, T, 4H].
+    Wx2 = jnp.stack([params_f["Wx"], params_r["Wx"]]).astype(cd)   # [2, D, 4H]
+    b2 = jnp.stack([params_f["b"], params_r["b"]]).astype(jnp.float32)
+    x2 = jnp.stack([x, xr]).astype(cd)                             # [2, B, T, D]
+    xz = jnp.einsum("gbtd,gdo->gbto", x2, Wx2,
+                    preferred_element_type=jnp.float32) + b2[:, None, None, :]
+    xz = jnp.transpose(xz, (2, 0, 1, 3))                           # [T, 2, B, 4H]
+
+    if lengths is not None:
+        valid = (jnp.arange(T)[:, None] < lengths[None, :])[:, None, :, None]
+    else:
+        valid = jnp.ones((T, 1, 1, 1), dtype=bool)
+
+    Wh2 = jnp.stack([params_f["Wh"], params_r["Wh"]]).astype(cd)   # [2, H, 4H]
+
+    def step(carry, inp):
+        h, c = carry                                               # [2, B, H]
+        zx_t, valid_t = inp
+        z = zx_t + jnp.einsum("gbh,gho->gbo", h.astype(cd), Wh2,
+                              preferred_element_type=jnp.float32)
+        gi = jax.nn.sigmoid(z[..., 0 * H:1 * H])
+        gf = jax.nn.sigmoid(z[..., 1 * H:2 * H])
+        go = jax.nn.sigmoid(z[..., 2 * H:3 * H])
+        ci = jnp.tanh(z[..., 3 * H:4 * H])
+        c_new = gf * c + gi * ci
+        h_new = jnp.tanh(c_new) * go
+        c_next = jnp.where(valid_t, c_new, c)
+        h_next = jnp.where(valid_t, h_new, h)
+        h_out = jnp.where(valid_t, h_new, jnp.zeros_like(h_new))
+        return (h_next, c_next), h_out
+
+    h0 = jnp.zeros((2, B, H), jnp.float32)
+    c0 = jnp.zeros((2, B, H), jnp.float32)
+    _, hs = jax.lax.scan(step, (h0, c0), (xz, valid), unroll=unroll)
+    yf = jnp.transpose(hs[:, 0], (1, 0, 2))                        # [B, T, H]
+    yr = flip_within_length(jnp.transpose(hs[:, 1], (1, 0, 2)), lengths)
+    return jnp.concatenate([yf, yr], axis=-1).astype(x.dtype)

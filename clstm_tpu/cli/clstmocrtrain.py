@@ -71,6 +71,7 @@ def main(argv=None) -> int:
     batch_size = getienv("batch_size", 32)
     net_kind = getsenv("net", "bidi")
     log_jsonl = getsenv("log_jsonl", "")
+    display_every = getienv("display_every", 0)
 
     train_ds = OcrDataset(argv[0], target_height=target_height, dewarp=dewarp)
     test_ds = (OcrDataset(argv[1], target_height=target_height, dewarp=dewarp)
@@ -95,6 +96,10 @@ def main(argv=None) -> int:
 
     rng = np.random.RandomState(randseed)
     jsonl = open(log_jsonl, "a") if log_jsonl else None
+    display = None
+    if display_every:
+        from clstm_tpu.utils.display import Display
+        display = Display(save_name + "-display.png")
     trials = 0
     best_err = float("inf")
     next_report = 0
@@ -121,6 +126,8 @@ def main(argv=None) -> int:
                         "trial": trials, "loss": float(m["loss"]),
                         "lines_per_sec": rate}) + "\n")
                     jsonl.flush()
+                if display is not None:
+                    display.add_loss(trials, float(m["loss"]))
             if test_samples and trials >= next_test:
                 next_test += test_every
                 err = evaluate(ocr, test_samples, codec, batch_size)
@@ -128,6 +135,8 @@ def main(argv=None) -> int:
                 if jsonl:
                     jsonl.write(json.dumps({"trial": trials, "test_cer": err}) + "\n")
                     jsonl.flush()
+                if display is not None:
+                    display.add_test_err(trials, err)
                 if err < best_err:
                     best_err = err
                     ocr.save(save_name + ".clstm")
@@ -135,6 +144,8 @@ def main(argv=None) -> int:
             if trials >= next_save:
                 next_save += save_every
                 ocr.save(save_name + "-last.clstm")
+            if display is not None and trials % max(display_every, 1) < batch_size:
+                display.render()
             if trials >= ntrain:
                 break
     ocr.save(save_name + "-last.clstm")

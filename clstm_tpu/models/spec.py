@@ -132,6 +132,7 @@ class ApplyCtx:
     logits: bool = False        # make the final SoftmaxLayer emit logits
     compute_dtype: object = None  # e.g. jnp.bfloat16 for matmuls
     fuse_bidi: bool = True      # one-scan execution of the bidi idiom
+    use_pallas: object = None   # None = auto (TPU backend, dims fit)
 
 
 def init_net(spec: NetSpec, key: jax.Array) -> dict:
@@ -298,10 +299,21 @@ def _is_bidi_pair(spec: NetSpec) -> bool:
 
 def _parallel_apply(spec, params, x, lengths, ctx):
     if ctx.fuse_bidi and _is_bidi_pair(spec):
-        return bidi_lstm_apply(
-            params["sub"][0]["weights"],
-            params["sub"][1]["sub"][0]["weights"],
-            x, lengths, compute_dtype=ctx.compute_dtype)
+        pf = params["sub"][0]["weights"]
+        pr = params["sub"][1]["sub"][0]["weights"]
+        B, T, _ = x.shape
+        H = pf["Wh"].shape[0]
+        use_pallas = ctx.use_pallas
+        if use_pallas is None:
+            from clstm_tpu.ops.pallas_lstm import HP, fits_pallas
+            use_pallas = (jax.default_backend() == "tpu"
+                          and ctx.compute_dtype is None
+                          and H <= HP and T % 8 == 0 and fits_pallas(B, T))
+        if use_pallas:
+            from clstm_tpu.ops.pallas_lstm import bidi_lstm_pallas
+            return bidi_lstm_pallas(pf, pr, x, lengths)
+        return bidi_lstm_apply(pf, pr, x, lengths,
+                               compute_dtype=ctx.compute_dtype)
     sub_ctx = dataclasses.replace(ctx, logits=False)
     ys = [_apply(s, p, x, lengths, sub_ctx) for s, p in zip(spec.sub, params["sub"])]
     return jnp.concatenate(ys, axis=-1)

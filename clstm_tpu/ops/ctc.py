@@ -95,6 +95,35 @@ def forward_algorithm(lmatch: jax.Array, skip: float = SKIP) -> jax.Array:
     return lr[0]
 
 
+def _forward_dp(lmatch: jax.Array, tvalid: jax.Array, skip: float,
+                use_pallas: Optional[bool]) -> jax.Array:
+    """Dispatch the DP to the Pallas TPU kernel or the lax.scan fallback.
+
+    The scan is pure sequential latency (~15us/step on a tunneled v5e);
+    the Pallas kernel keeps the log-alpha carry in VMEM across the whole
+    T loop (ops/pallas_ctc.py). Auto mode uses Pallas exactly when the
+    default backend is TPU.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if not use_pallas:
+        return _forward_scan(lmatch, tvalid, skip)
+    from clstm_tpu.ops.pallas_ctc import ctc_forward_pallas
+    B, T, S = lmatch.shape
+    Sp = -(-S // 128) * 128
+    Bp = -(-B // 8) * 8
+    lm = lmatch
+    if Sp != S:
+        lm = jnp.pad(lm, ((0, 0), (0, 0), (0, Sp - S)),
+                     constant_values=NEG)
+    lengths = jnp.sum(tvalid.astype(jnp.int32), axis=1)  # contiguous prefix
+    if Bp != B:
+        lm = jnp.pad(lm, ((0, Bp - B), (0, 0), (0, 0)), constant_values=NEG)
+        lengths = jnp.pad(lengths, (0, Bp - B))
+    lr = ctc_forward_pallas(lm, lengths, skip=skip)
+    return lr[:B, :, :S]
+
+
 def ctc_align_targets_batched(
     probs: jax.Array,
     target_ids: jax.Array,
@@ -103,6 +132,7 @@ def ctc_align_targets_batched(
     target_lengths: Optional[jax.Array] = None,
     skip: float = SKIP,
     lo: float = LO,
+    use_pallas: Optional[bool] = None,
 ) -> jax.Array:
     """Batched CTC alignment: per-frame aligned posterior targets.
 
@@ -142,14 +172,14 @@ def ctc_align_targets_batched(
     lmatch = jnp.log(gathered)
     lmatch = jnp.where(svalid[:, None, :], lmatch, NEG)
 
-    lr = _forward_scan(lmatch, tvalid, skip)
+    lr = _forward_dp(lmatch, tvalid, skip, use_pallas)
 
     # Backward pass = forward over the (time, state)-reversed lattice,
     # flipped within true lengths so padding never enters the DP.
     lm_rev = flip_within_length(lmatch, lengths)                     # flip time
     lm_rev = flip_within_length(jnp.swapaxes(lm_rev, 1, 2), target_lengths)
     lm_rev = jnp.swapaxes(lm_rev, 1, 2)                              # flip state
-    rl = _forward_scan(lm_rev, tvalid, skip)
+    rl = _forward_dp(lm_rev, tvalid, skip, use_pallas)
     rl = flip_within_length(rl, lengths)
     rl = jnp.swapaxes(flip_within_length(jnp.swapaxes(rl, 1, 2), target_lengths), 1, 2)
 

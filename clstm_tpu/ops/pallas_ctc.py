@@ -1,0 +1,118 @@
+"""Pallas TPU kernel for the CTC alignment forward DP.
+
+The alignment DP (ops/ctc.py _forward_scan) is a T-step recurrence over a
+tiny [B, S] state — as a lax.scan it is pure latency: each of T iterations
+does a handful of VPU ops on ~100KB but pays full while-loop overhead
+(~15us/iter measured; BASELINE.md round-1 profile shows the two DP
+directions cost ~31ms of a 69ms train step at B=256, T=1024).
+
+This kernel runs the whole recurrence on-chip: grid = (B tiles, T chunks)
+with T sequential ("arbitrary") so the log-alpha state lives in a VMEM
+scratch across chunks while lmatch blocks stream in via the pallas
+pipeline. Both DP directions reuse this kernel (the caller flips lmatch
+within true lengths, exactly as the scan path does).
+
+No backward pass exists or is needed: alignment targets are computed under
+stop_gradient (the reference's training rule; see train.py).
+
+Layout requirements: S (state dim) padded to a multiple of 128 (lane
+width) with NEG entries — ctc.py handles the padding; T padded to a
+multiple of the chunk size with frames masked invalid via ``tvalid``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e30
+
+
+def _kernel(lm_ref, len_ref, out_ref, v_ref, *, skip: float, t_chunk: int):
+    """One (B-tile, T-chunk) grid step of the alignment forward DP.
+
+    lm_ref: [Bt, Tc, S] log match scores block (VMEM)
+    len_ref: [Bt, 128] per-row true lengths, broadcast across lanes (VMEM)
+      — a [Bt] column load does not lower on Mosaic, so validity is
+      computed as (length > global_frame) against this lane-replicated
+      copy, which already has the state-array shape.
+    out_ref: [Bt, Tc, S] log-alpha output block
+    v_ref: [Bt, S] carry scratch, persists across the T grid dimension
+    """
+    tc = pl.program_id(1)
+    S = v_ref.shape[1]
+
+    @pl.when(tc == 0)
+    def _init():
+        # v0[j] = skip * j  (iota must be integer on TPU, then cast)
+        j = jax.lax.broadcasted_iota(jnp.int32, v_ref.shape, 1)
+        v_ref[:, :] = skip * j.astype(jnp.float32)
+
+    def body(r, _):
+        i = (tc * t_chunk + r).astype(jnp.float32)  # global frame index
+        v = v_ref[:, :]
+        lm = lm_ref[:, r, :]
+        # w = roll(v, 1) with w[0] = skip * i
+        w = pltpu.roll(v, 1, axis=1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (v.shape[0], S), 1)
+        w = jnp.where(col == 0, skip * i, w)
+        v_new = jnp.logaddexp(v + lm, w + lm)
+        m = (len_ref[:, :] > i).astype(jnp.float32)   # [Bt, 128]
+        if S > 128:
+            m = jnp.concatenate([m] * (S // 128), axis=1)
+        v_next = m * v_new + (1.0 - m) * v
+        v_ref[:, :] = v_next
+        out_ref[:, r, :] = v_next
+        return _
+
+    jax.lax.fori_loop(0, t_chunk, body, None)
+
+
+@functools.partial(jax.jit, static_argnames=("skip", "b_tile", "t_chunk",
+                                             "interpret"))
+def ctc_forward_pallas(lmatch: jax.Array, lengths: jax.Array, *,
+                       skip: float = -5.0, b_tile: int = 32,
+                       t_chunk: int = 128, interpret: bool = False) -> jax.Array:
+    """Batched log-space alignment DP on TPU.
+
+    lmatch: [B, T, S] (S a multiple of 128, invalid states NEG).
+    lengths: [B] true frame counts (padding is a contiguous suffix; padded
+    frames carry the state through unchanged).
+    Returns lr [B, T, S] — the same recurrence as the scan path.
+    """
+    B, T, S = lmatch.shape
+    assert S % 128 == 0, f"S must be lane-aligned, got {S}"
+    b_tile = min(b_tile, B)
+    while B % b_tile:
+        b_tile //= 2
+    t_chunk = min(t_chunk, T)
+    while T % t_chunk:
+        t_chunk //= 2
+
+    len_bc = jnp.broadcast_to(lengths.astype(jnp.float32)[:, None], (B, 128))
+    grid = (B // b_tile, T // t_chunk)
+    return pl.pallas_call(
+        functools.partial(_kernel, skip=skip, t_chunk=t_chunk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b_tile, t_chunk, S),
+                         lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, 128),
+                         lambda b, t: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b_tile, t_chunk, S),
+                               lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T, S), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((b_tile, S), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lmatch, len_bc)

@@ -1,0 +1,40 @@
+"""Pallas CTC DP kernel vs the lax.scan oracle (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from clstm_tpu.ops.ctc import NEG, _forward_scan
+from clstm_tpu.ops.pallas_ctc import ctc_forward_pallas
+
+
+@pytest.mark.parametrize("B,T,S", [(8, 256, 128), (16, 128, 128)])
+def test_pallas_matches_scan(B, T, S):
+    rng = np.random.RandomState(0)
+    lmatch = np.log(rng.rand(B, T, S).astype(np.float32) + 1e-3)
+    # mask some states invalid and some frames padded
+    lmatch[:, :, 100:] = NEG
+    lengths = rng.randint(T // 2, T + 1, size=B)
+    tvalid = (np.arange(T)[None, :] < lengths[:, None])
+
+    want = np.asarray(_forward_scan(jnp.asarray(lmatch), jnp.asarray(tvalid), -5.0))
+    got = np.asarray(ctc_forward_pallas(jnp.asarray(lmatch),
+                                        jnp.asarray(lengths.astype(np.int32)),
+                                        skip=-5.0, interpret=True))
+    # compare only valid frames/states (carry-through regions included)
+    np.testing.assert_allclose(got[:, :, :100], want[:, :, :100],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_odd_chunking():
+    """T not divisible by the default chunk -> chunk shrinks correctly."""
+    B, T, S = 8, 192, 128
+    rng = np.random.RandomState(1)
+    lmatch = np.log(rng.rand(B, T, S).astype(np.float32) + 1e-3)
+    tvalid = np.ones((B, T), bool)
+    want = np.asarray(_forward_scan(jnp.asarray(lmatch), jnp.asarray(tvalid), -5.0))
+    got = np.asarray(ctc_forward_pallas(jnp.asarray(lmatch),
+                                        jnp.full(B, T, np.int32),
+                                        interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

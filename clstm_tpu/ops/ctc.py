@@ -124,6 +124,39 @@ def _forward_dp(lmatch: jax.Array, tvalid: jax.Array, skip: float,
     return lr[:B, :, :S]
 
 
+def _backward_dp(lmatch: jax.Array, tvalid: jax.Array, lengths: jax.Array,
+                 target_lengths: jax.Array, skip: float,
+                 use_pallas: Optional[bool]) -> jax.Array:
+    """The second DP direction: flipped-forward on CPU, direct backward
+    kernel on TPU (ops/pallas_ctc.py ctc_backward_pallas — avoids four
+    full-array flip gathers)."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if not use_pallas:
+        lm_rev = flip_within_length(lmatch, lengths)                 # flip time
+        lm_rev = flip_within_length(jnp.swapaxes(lm_rev, 1, 2), target_lengths)
+        lm_rev = jnp.swapaxes(lm_rev, 1, 2)                          # flip state
+        rl = _forward_scan(lm_rev, tvalid, skip)
+        rl = flip_within_length(rl, lengths)
+        return jnp.swapaxes(
+            flip_within_length(jnp.swapaxes(rl, 1, 2), target_lengths), 1, 2)
+    from clstm_tpu.ops.pallas_ctc import ctc_backward_pallas
+    B, T, S = lmatch.shape
+    Sp = -(-S // 128) * 128
+    Bp = -(-B // 8) * 8
+    lm = lmatch
+    if Sp != S:
+        lm = jnp.pad(lm, ((0, 0), (0, 0), (0, Sp - S)), constant_values=NEG)
+    tl = target_lengths
+    lens = lengths
+    if Bp != B:
+        lm = jnp.pad(lm, ((0, Bp - B), (0, 0), (0, 0)), constant_values=NEG)
+        lens = jnp.pad(lens, (0, Bp - B))
+        tl = jnp.pad(tl, (0, Bp - B), constant_values=1)
+    rl = ctc_backward_pallas(lm, lens, tl, skip=skip)
+    return rl[:B, :, :S]
+
+
 def ctc_align_targets_batched(
     probs: jax.Array,
     target_ids: jax.Array,
@@ -173,15 +206,8 @@ def ctc_align_targets_batched(
     lmatch = jnp.where(svalid[:, None, :], lmatch, NEG)
 
     lr = _forward_dp(lmatch, tvalid, skip, use_pallas)
-
-    # Backward pass = forward over the (time, state)-reversed lattice,
-    # flipped within true lengths so padding never enters the DP.
-    lm_rev = flip_within_length(lmatch, lengths)                     # flip time
-    lm_rev = flip_within_length(jnp.swapaxes(lm_rev, 1, 2), target_lengths)
-    lm_rev = jnp.swapaxes(lm_rev, 1, 2)                              # flip state
-    rl = _forward_dp(lm_rev, tvalid, skip, use_pallas)
-    rl = flip_within_length(rl, lengths)
-    rl = jnp.swapaxes(flip_within_length(jnp.swapaxes(rl, 1, 2), target_lengths), 1, 2)
+    rl = _backward_dp(lmatch, tvalid, lengths, target_lengths, skip,
+                      use_pallas)
 
     both = lr + rl
     both = jnp.where(tvalid[:, :, None], both, NEG)

@@ -72,6 +72,105 @@ def _kernel(lm_ref, len_ref, out_ref, v_ref, *, skip: float, t_chunk: int):
     jax.lax.fori_loop(0, t_chunk, body, None)
 
 
+def _bwd_kernel(lm_ref, len_ref, tlen_ref, out_ref, v_ref, *, skip: float,
+                t_chunk: int):
+    """Direct backward DP — computes rl[t,s] (the flipped-forward pass of
+    ops/ctc.py) without materializing any flipped arrays.
+
+    Derivation: with u_t[s] := flipped_forward_v[T'-1-t][S'-1-s] (T', S'
+    the per-row true lengths), the recurrence becomes
+        u_t = lm_t + logaddexp(u_{t+1}, roll(u_{t+1}, -1))
+    with the boundary column s = tlen-1 replaced by skip*(len-1-t) and the
+    initial (t >= len) state u[s] = skip*(tlen-1-s). Frames t >= len carry
+    through; states s >= tlen are NEG via lmatch. The grid walks T chunks
+    in reverse via the index maps.
+    """
+    tc = pl.program_id(1)
+    S = v_ref.shape[1]
+
+    def expand(m128):
+        if S > 128:
+            return jnp.concatenate([m128] * (S // 128), axis=1)
+        return m128
+
+    tlen = expand(tlen_ref[:, :])                      # [Bt, S]
+    col = jax.lax.broadcasted_iota(jnp.int32, v_ref.shape, 1).astype(jnp.float32)
+
+    @pl.when(tc == 0)
+    def _init():
+        # u_init[s] = skip * (tlen - 1 - s); NEG for s >= tlen.
+        u0 = skip * (tlen - 1.0 - col)
+        v_ref[:, :] = jnp.where(col < tlen, u0, NEG)
+
+    nT = pl.num_programs(1)
+
+    def body(rr, _):
+        r = t_chunk - 1 - rr
+        t = ((nT - 1 - tc) * t_chunk + r).astype(jnp.float32)
+        v = v_ref[:, :]
+        lm = lm_ref[:, r, :]
+        lv = expand(len_ref[:, :])
+        # w[s] = u_{t+1}[s+1], with the boundary column s == tlen-1 set to
+        # skip * (len - 1 - t). (pltpu.roll requires non-negative shifts:
+        # roll by S-1 == roll by -1.)
+        w = pltpu.roll(v, S - 1, axis=1)
+        w = jnp.where(col == tlen - 1.0, skip * (lv - 1.0 - t), w)
+        v_new = jnp.logaddexp(v + lm, w + lm)
+        m = (lv > t).astype(jnp.float32)
+        v_next = m * v_new + (1.0 - m) * v
+        v_ref[:, :] = v_next
+        out_ref[:, r, :] = v_next
+        return _
+
+    jax.lax.fori_loop(0, t_chunk, body, None)
+
+
+@functools.partial(jax.jit, static_argnames=("skip", "b_tile", "t_chunk",
+                                             "interpret"))
+def ctc_backward_pallas(lmatch: jax.Array, lengths: jax.Array,
+                        target_lengths: jax.Array, *,
+                        skip: float = -5.0, b_tile: int = 32,
+                        t_chunk: int = 128, interpret: bool = False) -> jax.Array:
+    """rl [B, T, S] — equals flip(forward(flip(lmatch))) from the scan
+    path, computed in place without flips."""
+    B, T, S = lmatch.shape
+    assert S % 128 == 0, f"S must be lane-aligned, got {S}"
+    b_tile = min(b_tile, B)
+    while B % b_tile:
+        b_tile //= 2
+    t_chunk = min(t_chunk, T)
+    while T % t_chunk:
+        t_chunk //= 2
+
+    len_bc = jnp.broadcast_to(lengths.astype(jnp.float32)[:, None], (B, 128))
+    tlen_bc = jnp.broadcast_to(target_lengths.astype(jnp.float32)[:, None],
+                               (B, 128))
+    nT = T // t_chunk
+    grid = (B // b_tile, nT)
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, skip=skip, t_chunk=t_chunk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b_tile, t_chunk, S),
+                         lambda b, t: (b, nT - 1 - t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, 128), lambda b, t: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, 128), lambda b, t: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b_tile, t_chunk, S),
+                               lambda b, t: (b, nT - 1 - t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T, S), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((b_tile, S), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lmatch, len_bc, tlen_bc)
+
+
 @functools.partial(jax.jit, static_argnames=("skip", "b_tile", "t_chunk",
                                              "interpret"))
 def ctc_forward_pallas(lmatch: jax.Array, lengths: jax.Array, *,

@@ -5,8 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from clstm_tpu.ops.ctc import NEG, _forward_scan
-from clstm_tpu.ops.pallas_ctc import ctc_forward_pallas
+from clstm_tpu.ops.ctc import NEG, _backward_dp, _forward_scan
+from clstm_tpu.ops.pallas_ctc import ctc_backward_pallas, ctc_forward_pallas
 
 
 @pytest.mark.parametrize("B,T,S", [(8, 256, 128), (16, 128, 128)])
@@ -25,6 +25,31 @@ def test_pallas_matches_scan(B, T, S):
     # compare only valid frames/states (carry-through regions included)
     np.testing.assert_allclose(got[:, :, :100], want[:, :, :100],
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("B,T,S", [(8, 256, 128)])
+def test_pallas_backward_matches_flipped_scan(B, T, S):
+    rng = np.random.RandomState(2)
+    lmatch = np.log(rng.rand(B, T, S).astype(np.float32) + 1e-3)
+    tlens = rng.randint(10, 100, size=B)
+    for b in range(B):
+        lmatch[b, :, tlens[b]:] = NEG
+    lengths = rng.randint(T // 2, T + 1, size=B)
+    tvalid = (np.arange(T)[None, :] < lengths[:, None])
+
+    want = np.asarray(_backward_dp(
+        jnp.asarray(lmatch), jnp.asarray(tvalid),
+        jnp.asarray(lengths.astype(np.int32)),
+        jnp.asarray(tlens.astype(np.int32)), -5.0, False))
+    got = np.asarray(ctc_backward_pallas(
+        jnp.asarray(lmatch), jnp.asarray(lengths.astype(np.int32)),
+        jnp.asarray(tlens.astype(np.int32)), skip=-5.0, interpret=True))
+    # Compare valid (frame, state) cells only — the two implementations
+    # differ freely in carry-through padding regions.
+    for b in range(B):
+        np.testing.assert_allclose(
+            got[b, :lengths[b], :tlens[b]], want[b, :lengths[b], :tlens[b]],
+            rtol=1e-5, atol=1e-5, err_msg=f"row {b}")
 
 
 def test_pallas_odd_chunking():

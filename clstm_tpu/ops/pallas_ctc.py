@@ -32,16 +32,21 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e30
 
 
-def _kernel(lm_ref, len_ref, out_ref, v_ref, *, skip: float, t_chunk: int):
+def _kernel(lm_ref, out_ref, v_ref, *, skip: float, t_chunk: int):
     """One (B-tile, T-chunk) grid step of the alignment forward DP.
 
     lm_ref: [Bt, Tc, S] log match scores block (VMEM)
-    len_ref: [Bt, 128] per-row true lengths, broadcast across lanes (VMEM)
-      — a [Bt] column load does not lower on Mosaic, so validity is
-      computed as (length > global_frame) against this lane-replicated
-      copy, which already has the state-array shape.
     out_ref: [Bt, Tc, S] log-alpha output block
     v_ref: [Bt, S] carry scratch, persists across the T grid dimension
+
+    No per-step frame-validity masking: padding is a contiguous per-row
+    suffix, this pass walks time forward, so all VALID output rows are
+    written before the recurrence enters a row's phantom frames; phantom
+    lr rows are garbage-but-finite and the caller masks them out of
+    ``both`` before the exp/normalize stage (ops/ctc.py). Per-step
+    masking is a large fraction of kernel time (select + compare each
+    step). The backward kernel (_bwd_kernel) DOES mask — it walks time
+    backward through the padding before reaching valid frames.
     """
     tc = pl.program_id(1)
     S = v_ref.shape[1]
@@ -61,12 +66,8 @@ def _kernel(lm_ref, len_ref, out_ref, v_ref, *, skip: float, t_chunk: int):
         col = jax.lax.broadcasted_iota(jnp.int32, (v.shape[0], S), 1)
         w = jnp.where(col == 0, skip * i, w)
         v_new = jnp.logaddexp(v + lm, w + lm)
-        m = (len_ref[:, :] > i).astype(jnp.float32)   # [Bt, 128]
-        if S > 128:
-            m = jnp.concatenate([m] * (S // 128), axis=1)
-        v_next = m * v_new + (1.0 - m) * v
-        v_ref[:, :] = v_next
-        out_ref[:, r, :] = v_next
+        v_ref[:, :] = v_new
+        out_ref[:, r, :] = v_new
         return _
 
     jax.lax.fori_loop(0, t_chunk, body, None)
@@ -192,7 +193,6 @@ def ctc_forward_pallas(lmatch: jax.Array, lengths: jax.Array, *,
     while T % t_chunk:
         t_chunk //= 2
 
-    len_bc = jnp.broadcast_to(lengths.astype(jnp.float32)[:, None], (B, 128))
     grid = (B // b_tile, T // t_chunk)
     return pl.pallas_call(
         functools.partial(_kernel, skip=skip, t_chunk=t_chunk),
@@ -200,9 +200,6 @@ def ctc_forward_pallas(lmatch: jax.Array, lengths: jax.Array, *,
         in_specs=[
             pl.BlockSpec((b_tile, t_chunk, S),
                          lambda b, t: (b, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((b_tile, 128),
-                         lambda b, t: (b, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((b_tile, t_chunk, S),
@@ -214,4 +211,4 @@ def ctc_forward_pallas(lmatch: jax.Array, lengths: jax.Array, *,
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(lmatch, len_bc)
+    )(lmatch)

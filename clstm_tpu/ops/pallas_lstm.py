@@ -28,8 +28,11 @@ tests/test_pallas_lstm.py.
 
 Hidden size is padded to Hp=128 (lane width); padded h/c columns stay
 exactly zero through the recurrence (zero weight columns -> ci = 0 ->
-c = gf*0 = 0). Frame validity is (length > t) against a lane-broadcast
-lengths array (a [B] column load does not lower on Mosaic).
+c = gf*0 = 0). There is NO per-step length masking inside the kernels —
+padding is a contiguous per-row suffix, so masking is only needed on the
+layer output and the incoming cotangents, both applied outside; per-step
+masking measured at ~80% of kernel runtime (select + iota-compare on
+[B, 2Hp] every step).
 """
 
 from __future__ import annotations
@@ -62,21 +65,28 @@ def _pad_gates(W, H: int, in_dim: int, in_pad: int):
     return out
 
 
-def _gate_major(xz4):
-    """[..., 2, 4*Hp] per-group gate blocks -> [..., 8*Hp] gate-major
-    (k-major, group-minor): columns [k*2Hp + g*Hp : k*2Hp + (g+1)*Hp]."""
-    lead = xz4.shape[:-2]
-    a = xz4.reshape(lead + (2, 4, HP))
-    a = jnp.swapaxes(a, -3, -2)              # [..., 4, 2, HP]
-    return a.reshape(lead + (4 * GH,))
+def _gm_weight(Wp, g: int):
+    """[in, 4Hp] group-g padded weights -> [in, 8Hp] gate-major placement
+    (zeros in the other group's lanes). Folding the gate-major permutation
+    into the WEIGHTS keeps the big [T,B,*] activations in natural layout —
+    permuting activations instead costs several 0.5-1GB transposes per
+    step (measured ~19ms of a 23ms forward)."""
+    n = Wp.shape[0]
+    out = jnp.zeros((n, 4, 2, HP), jnp.float32)
+    out = out.at[:, :, g, :].set(Wp.reshape(n, 4, HP))
+    return out.reshape(n, 4 * GH)
 
 
-def _from_gate_major(z):
-    """[..., 8*Hp] gate-major -> [..., 2, 4*Hp] per-group layout."""
-    lead = z.shape[:-1]
-    a = z.reshape(lead + (4, 2, HP))
-    a = jnp.swapaxes(a, -3, -2)              # [..., 2, 4, HP]
-    return a.reshape(lead + (2, 4 * HP))
+def _gm_cols(arr, g: int, H: int, axis: int = -1):
+    """Slice group g's [*, 4H] reference-layout block out of a gate-major
+    [*, 8Hp] array along ``axis``."""
+    parts = []
+    for k in range(4):
+        lo = k * GH + g * HP
+        idx = [slice(None)] * arr.ndim
+        idx[axis] = slice(lo, lo + H)
+        parts.append(arr[tuple(idx)])
+    return jnp.concatenate(parts, axis=axis)
 
 
 def _make_wbd(params_f: dict, params_r: dict, H: int):
@@ -94,11 +104,21 @@ def _make_wbd(params_f: dict, params_r: dict, H: int):
 # Kernels
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(xz_ref, len_ref, wbd_ref, h_seq_ref, c_seq_ref,
+def _fwd_kernel(xz_ref, wbd_ref, h_seq_ref, c_seq_ref,
                 h_ref, c_ref, *, t_chunk: int):
-    """xz_ref [Tc,B,8Hp] (bf16, gate-major, bias folded), len_ref [B,2Hp],
-    wbd_ref [2Hp,8Hp]; outputs h_seq/c_seq [Tc,B,2Hp] (carries); scratch
-    h/c [B,2Hp]."""
+    """xz_ref [Tc,B,8Hp] (bf16, gate-major, bias folded), wbd_ref
+    [2Hp,8Hp]; outputs h_seq/c_seq [Tc,B,2Hp] (carries); scratch h/c
+    [B,2Hp].
+
+    NO per-step length masking — measured at ~80% of kernel time and
+    provably unnecessary here: padding is a contiguous per-row SUFFIX
+    (data/dataset bucketing invariant), so phantom-frame state never feeds
+    a valid frame in this forward pass; phantom h_seq/c_seq values are
+    garbage but (a) the caller masks the layer output y outside, and
+    (b) the backward pass's cotangents are exactly zero through phantom
+    frames (see _bwd_kernel), so they contribute nothing to any gradient.
+    Phantom frames cannot produce NaN: x is zero-padded, so z = bias +
+    h@Wbd stays bounded (h in tanh range)."""
     tc = pl.program_id(0)
 
     @pl.when(tc == 0)
@@ -107,8 +127,6 @@ def _fwd_kernel(xz_ref, len_ref, wbd_ref, h_seq_ref, c_seq_ref,
         c_ref[...] = jnp.zeros_like(c_ref)
 
     def body(r, _):
-        i = (tc * t_chunk + r).astype(jnp.float32)
-        m = (len_ref[:, :] > i).astype(jnp.float32)          # [B,2Hp]
         z = xz_ref[r].astype(jnp.float32) + jnp.dot(
             h_ref[:, :], wbd_ref[:, :], preferred_element_type=jnp.float32)
         gi = jax.nn.sigmoid(z[:, 0 * GH:1 * GH])
@@ -117,23 +135,27 @@ def _fwd_kernel(xz_ref, len_ref, wbd_ref, h_seq_ref, c_seq_ref,
         ci = jnp.tanh(z[:, 3 * GH:4 * GH])
         c_new = gf * c_ref[:, :] + gi * ci
         h_new = jnp.tanh(c_new) * go
-        c_next = m * c_new + (1.0 - m) * c_ref[:, :]
-        h_next = m * h_new + (1.0 - m) * h_ref[:, :]
-        c_ref[:, :] = c_next
-        h_ref[:, :] = h_next
-        h_seq_ref[r] = h_next
-        c_seq_ref[r] = c_next
+        c_ref[:, :] = c_new
+        h_ref[:, :] = h_new
+        h_seq_ref[r] = h_new
+        c_seq_ref[r] = c_new
         return _
 
     jax.lax.fori_loop(0, t_chunk, body, None)
 
 
-def _bwd_kernel(xz_ref, len_ref, hprev_ref, cprev_ref, cseq_ref, g_ref,
+def _bwd_kernel(xz_ref, hprev_ref, cprev_ref, cseq_ref, g_ref,
                 wbd_ref, wbdt_ref, dz_ref, Dh_ref, Dc_ref, *, t_chunk: int):
-    """Reverse-grid step emitting dz [Tc,B,8Hp] (bf16). Carries Dh/Dc
-    [B,2Hp] in scratch; gates recomputed from hprev/cprev."""
+    """Reverse-grid step emitting dz [Tc,B,8Hp]. Carries Dh/Dc [B,2Hp] in
+    scratch; gates recomputed from hprev/cprev.
+
+    NO per-step length masking (see _fwd_kernel): the caller zeroes the
+    padded-frame cotangents g outside, and the carries initialize to zero,
+    so through every phantom frame dh_new = g + Dh = 0, hence dz = 0,
+    hence Dh' = 0 and Dc' = Dc*0... = 0 — the zeros propagate EXACTLY
+    until the recurrence crosses into each row's valid region, which is
+    precisely the masked semantics."""
     tc = pl.program_id(0)
-    nT = pl.num_programs(0)
 
     @pl.when(tc == 0)
     def _init():
@@ -142,8 +164,6 @@ def _bwd_kernel(xz_ref, len_ref, hprev_ref, cprev_ref, cseq_ref, g_ref,
 
     def body(rr, _):
         r = t_chunk - 1 - rr
-        i = ((nT - 1 - tc) * t_chunk + r).astype(jnp.float32)
-        m = (len_ref[:, :] > i).astype(jnp.float32)
         h_prev = hprev_ref[r]
         c_prev = cprev_ref[r]
         z = xz_ref[r].astype(jnp.float32) + jnp.dot(
@@ -154,17 +174,17 @@ def _bwd_kernel(xz_ref, len_ref, hprev_ref, cprev_ref, cseq_ref, g_ref,
         ci = jnp.tanh(z[:, 3 * GH:4 * GH])
         tc_new = jnp.tanh(cseq_ref[r])
 
-        dh_new = m * (g_ref[r] + Dh_ref[:, :])
-        dc_new = m * Dc_ref[:, :] + dh_new * go * (1.0 - tc_new * tc_new)
+        dh_new = g_ref[r] + Dh_ref[:, :]
+        dc_new = Dc_ref[:, :] + dh_new * go * (1.0 - tc_new * tc_new)
         dgo = dh_new * tc_new * go * (1.0 - go)
         dgf = dc_new * c_prev * gf * (1.0 - gf)
         dgi = dc_new * ci * gi * (1.0 - gi)
         dci = dc_new * gi * (1.0 - ci * ci)
         dz = jnp.concatenate([dgi, dgf, dgo, dci], axis=1)   # [B,8Hp]
 
-        Dh_ref[:, :] = (1.0 - m) * Dh_ref[:, :] + jnp.dot(
+        Dh_ref[:, :] = jnp.dot(
             dz, wbdt_ref[:, :], preferred_element_type=jnp.float32)
-        Dc_ref[:, :] = (1.0 - m) * Dc_ref[:, :] + dc_new * gf
+        Dc_ref[:, :] = dc_new * gf
         dz_ref[r] = dz.astype(dz_ref.dtype)
         return _
 
@@ -207,7 +227,7 @@ def _bwd_trow_bytes(B: int, xz_bytes: int, dz_bytes: int) -> int:
         + 2 * (B * 4 * GH * dz_bytes)
 
 
-def _call_fwd(xz, len_bc, wbd, *, t_chunk, interpret):
+def _call_fwd(xz, wbd, *, t_chunk, interpret):
     T, B, _ = xz.shape
     return pl.pallas_call(
         functools.partial(_fwd_kernel, t_chunk=t_chunk),
@@ -215,7 +235,6 @@ def _call_fwd(xz, len_bc, wbd, *, t_chunk, interpret):
         in_specs=[
             pl.BlockSpec((t_chunk, B, 4 * GH), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, GH), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((GH, 4 * GH), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -236,10 +255,10 @@ def _call_fwd(xz, len_bc, wbd, *, t_chunk, interpret):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(xz, len_bc, wbd)
+    )(xz, wbd)
 
 
-def _call_bwd(xz, len_bc, hprev, cprev, cseq, gseq, wbd, wbdt,
+def _call_bwd(xz, hprev, cprev, cseq, gseq, wbd, wbdt,
               *, t_chunk, interpret, dz_dtype=jnp.bfloat16):
     T, B, _ = xz.shape
     nT = T // t_chunk
@@ -249,7 +268,6 @@ def _call_bwd(xz, len_bc, hprev, cprev, cseq, gseq, wbd, wbdt,
         grid=(nT,),
         in_specs=[
             pl.BlockSpec((t_chunk, B, 4 * GH), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, GH), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((t_chunk, B, GH), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((t_chunk, B, GH), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((t_chunk, B, GH), rev, memory_space=pltpu.VMEM),
@@ -269,7 +287,7 @@ def _call_bwd(xz, len_bc, hprev, cprev, cseq, gseq, wbd, wbdt,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(xz, len_bc, hprev, cprev, cseq, gseq, wbd, wbdt)
+    )(xz, hprev, cprev, cseq, gseq, wbd, wbdt)
 
 
 def _prep(params_f, params_r, x, lengths, xz_dtype):
@@ -278,21 +296,20 @@ def _prep(params_f, params_r, x, lengths, xz_dtype):
     xr = flip_within_length(x, lengths)
     x2 = jnp.stack([x, xr], axis=1).astype(jnp.float32)      # [B,2,T,D]
     x2 = jnp.transpose(x2, (2, 1, 0, 3))                     # [T,2,B,D]
-    # Input projections, per group, padded to gate blocks + bias, then
-    # gate-major combined: [T,B,8Hp], streamed bf16.
-    xz_g = []
-    for g, p in ((0, params_f), (1, params_r)):
-        Wxp = _pad_gates(p["Wx"], H, D, D)                   # [D,4Hp]
-        bp = _pad_gates(p["b"][None, :], H, 1, 1)[0]         # [4Hp]
-        xz_g.append(jnp.einsum("tbd,do->tbo", x2[:, g], Wxp,
-                               preferred_element_type=jnp.float32) + bp)
-    xz4 = jnp.stack(xz_g, axis=2)                            # [T,B,2,4Hp]
-    xz = _gate_major(xz4).astype(xz_dtype)                   # [T,B,8Hp]
+    # Input projections directly in gate-major layout via weight-folded
+    # permutation: one einsum, no activation reshuffles.
+    Wx_gm = jnp.stack([
+        _gm_weight(_pad_gates(params_f["Wx"], H, D, D), 0),
+        _gm_weight(_pad_gates(params_r["Wx"], H, D, D), 1)])  # [2,D,8Hp]
+    b_gm = (_gm_weight(_pad_gates(params_f["b"][None, :], H, 1, 1), 0)[0]
+            + _gm_weight(_pad_gates(params_r["b"][None, :], H, 1, 1), 1)[0])
+    xz = jnp.einsum("tgbd,gdo->tbo", x2, Wx_gm,
+                    preferred_element_type=jnp.float32) + b_gm
+    xz = xz.astype(xz_dtype)                                  # [T,B,8Hp]
 
     lens = jnp.full((B,), T, jnp.int32) if lengths is None else lengths
-    len_bc = jnp.broadcast_to(lens.astype(jnp.float32)[:, None], (B, GH))
     wbd = _make_wbd(params_f, params_r, H)
-    return x2, xz, len_bc, wbd, lens, H
+    return x2, xz, Wx_gm, wbd, lens, H
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
@@ -312,18 +329,18 @@ def bidi_lstm_pallas(params_f: dict, params_r: dict, x: jax.Array,
 
 def _fwd_impl(params_f, params_r, x, lengths, t_chunk, interpret, xz_bf16=True):
     B, T, D = x.shape
-    x2, xz, len_bc, wbd, lens, H = _prep(
+    x2, xz, Wx_gm, wbd, lens, H = _prep(
         params_f, params_r, x, lengths,
         jnp.bfloat16 if xz_bf16 else jnp.float32)
     tc = _auto_chunk(T, B, _fwd_trow_bytes(B, 2 if xz_bf16 else 4), t_chunk)
-    h_seq, c_seq = _call_fwd(xz, len_bc, wbd, t_chunk=tc, interpret=interpret)
+    h_seq, c_seq = _call_fwd(xz, wbd, t_chunk=tc, interpret=interpret)
     mask = (jnp.arange(T)[:, None] < lens[None, :]).astype(jnp.float32)
     hm = h_seq * mask[:, :, None]
     y_f = jnp.transpose(hm[:, :, :H], (1, 0, 2))             # [B,T,H]
     y_r = flip_within_length(
         jnp.transpose(hm[:, :, HP:HP + H], (1, 0, 2)), lengths)
     y = jnp.concatenate([y_f, y_r], axis=-1).astype(x.dtype)
-    res = (params_f, params_r, x, lengths, x2, xz, len_bc, wbd,
+    res = (params_f, params_r, x, lengths, x2, xz, Wx_gm, wbd,
            h_seq, c_seq, H)
     return y, res
 
@@ -334,7 +351,7 @@ def _vjp_fwd(params_f, params_r, x, lengths, t_chunk, interpret, xz_bf16):
 
 
 def _vjp_bwd(t_chunk, interpret, xz_bf16, res, gy):
-    (params_f, params_r, x, lengths, x2, xz, len_bc, wbd,
+    (params_f, params_r, x, lengths, x2, xz, Wx_gm, wbd,
      h_seq, c_seq, H) = res
     B, T, D = x.shape
     gy = gy.astype(jnp.float32)
@@ -354,36 +371,32 @@ def _vjp_bwd(t_chunk, interpret, xz_bf16, res, gy):
     cprev = jnp.concatenate([zero, c_seq[:-1]], axis=0)
     nb = 2 if xz_bf16 else 4
     tc = _auto_chunk(T, B, _bwd_trow_bytes(B, nb, nb), t_chunk)
-    dz = _call_bwd(xz, len_bc, hprev, cprev, c_seq, gseq, wbd,
+    dz = _call_bwd(xz, hprev, cprev, c_seq, gseq, wbd,
                    jnp.swapaxes(wbd, 0, 1), t_chunk=tc, interpret=interpret,
                    dz_dtype=jnp.bfloat16 if xz_bf16 else jnp.float32)
 
-    dz4 = _from_gate_major(dz.astype(jnp.float32))           # [T,B,2,4Hp]
+    # All-group contractions on the MXU, no activation reshuffles; the
+    # gate-major -> reference-layout extraction happens on the small
+    # weight-gradient tensors.
+    dWx_gm = jnp.einsum("tgbd,tbo->gdo", x2, dz,
+                        preferred_element_type=jnp.float32)  # [2,D,8Hp]
+    dWh_gm = jnp.einsum("tbh,tbo->ho", hprev, dz,
+                        preferred_element_type=jnp.float32)  # [2Hp,8Hp]
+    db_gm = jnp.sum(dz.astype(jnp.float32), axis=(0, 1))     # [8Hp]
+    dx2 = jnp.einsum("tbo,gdo->tgbd", dz, Wx_gm,
+                     preferred_element_type=jnp.float32)     # [T,2,B,D]
+
     grads = []
-    dxs = []
     for g, p in ((0, params_f), (1, params_r)):
-        dz_g = dz4[:, :, g]                                  # [T,B,4Hp]
-        Wxp = _pad_gates(p["Wx"], H, D, D)
-        # Large parallel contractions on the MXU (outside the kernel).
-        dWx_p = jnp.einsum("tbd,tbo->do", x2[:, g], dz_g,
-                           preferred_element_type=jnp.float32)
-        dWh_p = jnp.einsum("tbh,tbo->ho", hprev[:, :, g * HP:(g + 1) * HP],
-                           dz_g, preferred_element_type=jnp.float32)
-        db_p = jnp.sum(dz_g, axis=(0, 1))
-        dx_g = jnp.einsum("tbo,do->tbd", dz_g, Wxp,
-                          preferred_element_type=jnp.float32)
-        dxs.append(dx_g)
-        dWx = jnp.concatenate(
-            [dWx_p[:, k * HP:k * HP + H] for k in range(4)], axis=1)
-        dWh = jnp.concatenate(
-            [dWh_p[:H, k * HP:k * HP + H] for k in range(4)], axis=1)
-        db = jnp.concatenate([db_p[k * HP:k * HP + H] for k in range(4)])
+        dWx = _gm_cols(dWx_gm[g], g, H)
+        dWh = _gm_cols(dWh_gm[g * HP:g * HP + H], g, H)
+        db = _gm_cols(db_gm, g, H)
         grads.append({"Wx": dWx.astype(p["Wx"].dtype),
                       "Wh": dWh.astype(p["Wh"].dtype),
                       "b": db.astype(p["b"].dtype)})
 
-    dx_f = jnp.transpose(dxs[0], (1, 0, 2))                  # [B,T,D]
-    dx_r = flip_within_length(jnp.transpose(dxs[1], (1, 0, 2)), lengths)
+    dx_f = jnp.transpose(dx2[:, 0], (1, 0, 2))               # [B,T,D]
+    dx_r = flip_within_length(jnp.transpose(dx2[:, 1], (1, 0, 2)), lengths)
     dx = (dx_f + dx_r).astype(x.dtype)
     return grads[0], grads[1], dx, None
 

@@ -22,9 +22,12 @@ def test_pallas_matches_scan(B, T, S):
     got = np.asarray(ctc_forward_pallas(jnp.asarray(lmatch),
                                         jnp.asarray(lengths.astype(np.int32)),
                                         skip=-5.0, interpret=True))
-    # compare only valid frames/states (carry-through regions included)
-    np.testing.assert_allclose(got[:, :, :100], want[:, :, :100],
-                               rtol=1e-5, atol=1e-5)
+    # Compare only valid frames: the unmasked kernel intentionally lets
+    # phantom (suffix-padding) frames evolve — the caller masks them out.
+    for b in range(B):
+        np.testing.assert_allclose(got[b, :lengths[b], :100],
+                                   want[b, :lengths[b], :100],
+                                   rtol=1e-5, atol=1e-5, err_msg=f"row {b}")
 
 
 @pytest.mark.parametrize("B,T,S", [(8, 256, 128)])

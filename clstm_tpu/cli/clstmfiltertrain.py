@@ -44,6 +44,48 @@ def evaluate(model: CLSTMText, pairs) -> float:
     return err / max(chars, 1)
 
 
+def train_batched(model: CLSTMText, train_pairs, test_pairs, *, ntrain,
+                  batch_size, report_every, save_every, test_every,
+                  save_name, rng):
+    """Bucketed batched training loop (the TPU throughput path)."""
+    from clstm_tpu.data.dataset import make_text_batches
+    from clstm_tpu.ops.ctc import decode_frames
+
+    trials = 0
+    best_err = float("inf")
+    next_report, next_save, next_test = report_every, save_every, test_every
+    t0 = time.time()
+    while trials < ntrain:
+        for batch in make_text_batches(train_pairs, model.icodec, model.codec,
+                                       batch_size, rng=rng):
+            m = model.train_batch(batch)
+            trials += len(batch["texts"])
+            if trials >= next_report:
+                next_report += report_every
+                L = batch["lengths"][0]
+                ids = np.asarray(m["frame_ids"])[0][:L]
+                vals = np.asarray(m["frame_vals"])[0][:L]
+                pred = model.codec.decode(decode_frames(ids, vals))
+                rate = trials / (time.time() - t0)
+                print(f"{trials} {float(m['loss']):.4f} ({rate:.1f} pairs/s)")
+                print(f"   TRU: {batch['texts'][0]!r}")
+                print(f"   OUT: {pred!r}", flush=True)
+            if test_pairs and trials >= next_test:
+                next_test += test_every
+                err = evaluate(model, test_pairs)
+                print(f"TESTERR {trials} {err:.4f}", flush=True)
+                if err < best_err:
+                    best_err = err
+                    model.save(save_name + ".clstm")
+                    print(f"# saved best ({err:.4f}) to {save_name}.clstm")
+            if trials >= next_save:
+                next_save += save_every
+                model.save(save_name + "-last.clstm")
+            if trials >= ntrain:
+                break
+    model.save(save_name + "-last.clstm")
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv:
@@ -60,6 +102,7 @@ def main(argv=None) -> int:
     test_every = getienv("test_every", 10000)
     randseed = getienv("randseed", 0)
     net_kind = getsenv("net", "bidi")
+    batch_size = getienv("batch_size", 1)
 
     train_pairs = read_tsv(argv[0])
     test_pairs = read_tsv(argv[1]) if len(argv) > 1 else None
@@ -77,6 +120,12 @@ def main(argv=None) -> int:
     model.setLearningRate(lrate, momentum)
 
     rng = np.random.RandomState(randseed)
+    if batch_size > 1:
+        train_batched(model, train_pairs, test_pairs, ntrain=ntrain,
+                      batch_size=batch_size, report_every=report_every,
+                      save_every=save_every, test_every=test_every,
+                      save_name=save_name, rng=rng)
+        return 0
     trials = 0
     best_err = float("inf")
     t0 = time.time()

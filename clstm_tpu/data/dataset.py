@@ -166,6 +166,26 @@ def _emit(items: list, tb: int, sb: int) -> dict:
             "target_lengths": tlens, "texts": texts}
 
 
+def make_text_batches(pairs, icodec, codec, batch_size: int,
+                      t_buckets: Sequence[int] = (16, 32, 48, 64, 96, 128,
+                                                  192, 256, 384, 512),
+                      s_buckets: Sequence[int] = S_BUCKETS,
+                      rng: Optional[np.random.RandomState] = None) -> Iterator[dict]:
+    """Bucketed batches for string transduction (clstmfiltertrain):
+    one-hot encode inputs through ``icodec``, CTC targets through
+    ``codec``. Same contract as make_batches."""
+    ni = icodec.size()
+    samples = []
+    for a, b in pairs:
+        ids = icodec.encode(a)
+        x = np.zeros((max(len(ids), 1), ni), np.float32)
+        for t, c in enumerate(ids):
+            x[t, c] = 1.0
+        samples.append((x, b))
+    yield from make_batches(samples, codec, batch_size,
+                            t_buckets=t_buckets, s_buckets=s_buckets, rng=rng)
+
+
 def pad_batch_rows(batch: dict, batch_size: int) -> dict:
     """Right-pad a short batch to ``batch_size`` rows (zero lengths mask the
     dummy rows out of loss and decode). Keeps jit shapes static."""

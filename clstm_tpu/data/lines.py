@@ -62,10 +62,44 @@ class LineGenerator:
         self.charset = charset
 
     def random_text(self, minlen: int = 10, maxlen: int = 40) -> str:
+        """Uniform random characters (max-entropy; hardest case)."""
         n = int(self.rng.randint(minlen, maxlen + 1))
         chars = [self.charset[self.rng.randint(len(self.charset))] for _ in range(n)]
         s = "".join(chars).strip()
         return s if s else "x"
+
+    # Pseudo-English generator: real line datasets (UW3) are natural text
+    # whose character distribution is highly redundant; training difficulty
+    # (and the reference's <1% CER bar) assumes that redundancy, not
+    # max-entropy char soup.
+    _ONSETS = ("b c d f g h j k l m n p r s t v w st th ch sh br tr "
+               "gr pl cl").split()
+    _VOWELS = "a e i o u ea ou ai ee".split()
+    _CODAS = ("b d g k l m n p r s t x ng st nd nt rs ck").split()
+
+    def random_word(self) -> str:
+        syll = self.rng.randint(1, 4)
+        out = []
+        for _ in range(syll):
+            out.append(self._ONSETS[self.rng.randint(len(self._ONSETS))])
+            out.append(self._VOWELS[self.rng.randint(len(self._VOWELS))])
+            if self.rng.rand() < 0.6:
+                out.append(self._CODAS[self.rng.randint(len(self._CODAS))])
+        w = "".join(out)
+        if self.rng.rand() < 0.15:
+            w = w.capitalize()
+        return w
+
+    def random_sentence(self, minwords: int = 3, maxwords: int = 8) -> str:
+        n = int(self.rng.randint(minwords, maxwords + 1))
+        words = [self.random_word() for _ in range(n)]
+        s = " ".join(words)
+        r = self.rng.rand()
+        if r < 0.3:
+            s += "."
+        elif r < 0.4:
+            s += ","
+        return s
 
     def _font(self):
         size = int(self.rng.randint(self.fontsize[0], self.fontsize[1] + 1))

@@ -305,10 +305,10 @@ def _parallel_apply(spec, params, x, lengths, ctx):
         H = pf["Wh"].shape[0]
         use_pallas = ctx.use_pallas
         if use_pallas is None:
-            from clstm_tpu.ops.pallas_lstm import HP, fits_pallas
+            from clstm_tpu.ops.pallas_lstm import fits_pallas
             use_pallas = (jax.default_backend() == "tpu"
                           and ctx.compute_dtype is None
-                          and H <= HP and T % 8 == 0 and fits_pallas(B, T))
+                          and T % 8 == 0 and fits_pallas(B, T, H=H))
         if use_pallas:
             from clstm_tpu.ops.pallas_lstm import bidi_lstm_pallas
             return bidi_lstm_pallas(pf, pr, x, lengths)

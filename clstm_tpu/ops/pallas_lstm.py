@@ -47,57 +47,62 @@ from jax.experimental.pallas import tpu as pltpu
 
 from clstm_tpu.ops.seq import flip_within_length
 
-HP = 128           # padded per-direction hidden size (lane width)
-GH = 2 * HP        # combined state width (both directions)
+HP = 128           # default padded per-direction hidden size (lane width)
+GH = 2 * HP        # default combined state width (both directions)
 MAX_ROWS = 512     # fall back to the scan path above this batch size
+
+
+def _hp_for(H: int) -> int:
+    """Lane-aligned padded hidden size for a given nhidden."""
+    return -(-H // 128) * 128
 
 
 # ---------------------------------------------------------------------------
 # Layout helpers (all plain XLA, outside the kernels)
 # ---------------------------------------------------------------------------
 
-def _pad_gates(W, H: int, in_dim: int, in_pad: int):
-    """[in_dim, 4H] -> [in_pad, 4Hp] with each gate block padded to Hp."""
-    out = jnp.zeros((in_pad, 4 * HP), jnp.float32)
+def _pad_gates(W, H: int, in_dim: int, in_pad: int, hp: int = HP):
+    """[in_dim, 4H] -> [in_pad, 4*hp] with each gate block padded to hp."""
+    out = jnp.zeros((in_pad, 4 * hp), jnp.float32)
     for g in range(4):
-        out = out.at[:in_dim, g * HP:g * HP + H].set(
+        out = out.at[:in_dim, g * hp:g * hp + H].set(
             W[:, g * H:(g + 1) * H].astype(jnp.float32))
     return out
 
 
-def _gm_weight(Wp, g: int):
+def _gm_weight(Wp, g: int, hp: int = HP):
     """[in, 4Hp] group-g padded weights -> [in, 8Hp] gate-major placement
     (zeros in the other group's lanes). Folding the gate-major permutation
     into the WEIGHTS keeps the big [T,B,*] activations in natural layout —
     permuting activations instead costs several 0.5-1GB transposes per
     step (measured ~19ms of a 23ms forward)."""
     n = Wp.shape[0]
-    out = jnp.zeros((n, 4, 2, HP), jnp.float32)
-    out = out.at[:, :, g, :].set(Wp.reshape(n, 4, HP))
-    return out.reshape(n, 4 * GH)
+    out = jnp.zeros((n, 4, 2, hp), jnp.float32)
+    out = out.at[:, :, g, :].set(Wp.reshape(n, 4, hp))
+    return out.reshape(n, 8 * hp)
 
 
-def _gm_cols(arr, g: int, H: int, axis: int = -1):
+def _gm_cols(arr, g: int, H: int, axis: int = -1, hp: int = HP):
     """Slice group g's [*, 4H] reference-layout block out of a gate-major
     [*, 8Hp] array along ``axis``."""
     parts = []
     for k in range(4):
-        lo = k * GH + g * HP
+        lo = k * 2 * hp + g * hp
         idx = [slice(None)] * arr.ndim
         idx[axis] = slice(lo, lo + H)
         parts.append(arr[tuple(idx)])
     return jnp.concatenate(parts, axis=axis)
 
 
-def _make_wbd(params_f: dict, params_r: dict, H: int):
-    """Block-diagonal gate-major recurrent weights [2Hp, 8Hp]."""
+def _make_wbd(params_f: dict, params_r: dict, H: int, hp: int = HP):
+    """Block-diagonal gate-major recurrent weights [2hp, 8hp]."""
     rows = []
     for g, p in ((0, params_f), (1, params_r)):
-        Whp = _pad_gates(p["Wh"], H, H, HP)          # [Hp, 4Hp]
-        block = jnp.zeros((HP, 4, 2, HP), jnp.float32)
-        block = block.at[:, :, g, :].set(Whp.reshape(HP, 4, HP))
-        rows.append(block.reshape(HP, 4 * GH))
-    return jnp.concatenate(rows, axis=0)              # [2Hp, 8Hp]
+        Whp = _pad_gates(p["Wh"], H, H, hp, hp)       # [hp, 4hp]
+        block = jnp.zeros((hp, 4, 2, hp), jnp.float32)
+        block = block.at[:, :, g, :].set(Whp.reshape(hp, 4, hp))
+        rows.append(block.reshape(hp, 8 * hp))
+    return jnp.concatenate(rows, axis=0)              # [2hp, 8hp]
 
 
 # ---------------------------------------------------------------------------
@@ -105,7 +110,7 @@ def _make_wbd(params_f: dict, params_r: dict, H: int):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(xz_ref, wbd_ref, h_seq_ref, c_seq_ref,
-                h_ref, c_ref, *, t_chunk: int):
+                h_ref, c_ref, *, t_chunk: int, gh: int = GH):
     """xz_ref [Tc,B,8Hp] (bf16, gate-major, bias folded), wbd_ref
     [2Hp,8Hp]; outputs h_seq/c_seq [Tc,B,2Hp] (carries); scratch h/c
     [B,2Hp].
@@ -129,10 +134,10 @@ def _fwd_kernel(xz_ref, wbd_ref, h_seq_ref, c_seq_ref,
     def body(r, _):
         z = xz_ref[r].astype(jnp.float32) + jnp.dot(
             h_ref[:, :], wbd_ref[:, :], preferred_element_type=jnp.float32)
-        gi = jax.nn.sigmoid(z[:, 0 * GH:1 * GH])
-        gf = jax.nn.sigmoid(z[:, 1 * GH:2 * GH])
-        go = jax.nn.sigmoid(z[:, 2 * GH:3 * GH])
-        ci = jnp.tanh(z[:, 3 * GH:4 * GH])
+        gi = jax.nn.sigmoid(z[:, 0 * gh:1 * gh])
+        gf = jax.nn.sigmoid(z[:, 1 * gh:2 * gh])
+        go = jax.nn.sigmoid(z[:, 2 * gh:3 * gh])
+        ci = jnp.tanh(z[:, 3 * gh:4 * gh])
         c_new = gf * c_ref[:, :] + gi * ci
         h_new = jnp.tanh(c_new) * go
         c_ref[:, :] = c_new
@@ -145,7 +150,8 @@ def _fwd_kernel(xz_ref, wbd_ref, h_seq_ref, c_seq_ref,
 
 
 def _bwd_kernel(xz_ref, hprev_ref, cprev_ref, cseq_ref, g_ref,
-                wbd_ref, wbdt_ref, dz_ref, Dh_ref, Dc_ref, *, t_chunk: int):
+                wbd_ref, wbdt_ref, dz_ref, Dh_ref, Dc_ref, *, t_chunk: int,
+                gh: int = GH):
     """Reverse-grid step emitting dz [Tc,B,8Hp]. Carries Dh/Dc [B,2Hp] in
     scratch; gates recomputed from hprev/cprev.
 
@@ -168,10 +174,10 @@ def _bwd_kernel(xz_ref, hprev_ref, cprev_ref, cseq_ref, g_ref,
         c_prev = cprev_ref[r]
         z = xz_ref[r].astype(jnp.float32) + jnp.dot(
             h_prev, wbd_ref[:, :], preferred_element_type=jnp.float32)
-        gi = jax.nn.sigmoid(z[:, 0 * GH:1 * GH])
-        gf = jax.nn.sigmoid(z[:, 1 * GH:2 * GH])
-        go = jax.nn.sigmoid(z[:, 2 * GH:3 * GH])
-        ci = jnp.tanh(z[:, 3 * GH:4 * GH])
+        gi = jax.nn.sigmoid(z[:, 0 * gh:1 * gh])
+        gf = jax.nn.sigmoid(z[:, 1 * gh:2 * gh])
+        go = jax.nn.sigmoid(z[:, 2 * gh:3 * gh])
+        ci = jnp.tanh(z[:, 3 * gh:4 * gh])
         tc_new = jnp.tanh(cseq_ref[r])
 
         dh_new = g_ref[r] + Dh_ref[:, :]
@@ -216,41 +222,44 @@ def _auto_chunk(T: int, B: int, bytes_per_trow: int, target: int = 8) -> int:
     return t
 
 
-def _fwd_trow_bytes(B: int, xz_bytes: int) -> int:
+def _fwd_trow_bytes(B: int, xz_bytes: int, hp: int = HP) -> int:
     # xz block + 2 f32 output blocks, all double-buffered.
-    return 2 * (B * 4 * GH * xz_bytes) + 2 * 2 * (B * GH * 4)
+    gh = 2 * hp
+    return 2 * (B * 4 * gh * xz_bytes) + 2 * 2 * (B * gh * 4)
 
 
-def _bwd_trow_bytes(B: int, xz_bytes: int, dz_bytes: int) -> int:
+def _bwd_trow_bytes(B: int, xz_bytes: int, dz_bytes: int, hp: int = HP) -> int:
     # xz + 4 f32 inputs (hprev/cprev/cseq/g) + dz output, double-buffered.
-    return 2 * (B * 4 * GH * xz_bytes) + 2 * 4 * (B * GH * 4) \
-        + 2 * (B * 4 * GH * dz_bytes)
+    gh = 2 * hp
+    return 2 * (B * 4 * gh * xz_bytes) + 2 * 4 * (B * gh * 4) \
+        + 2 * (B * 4 * gh * dz_bytes)
 
 
 def _call_fwd(xz, wbd, *, t_chunk, interpret):
-    T, B, _ = xz.shape
+    T, B, four_gh = xz.shape
+    gh = four_gh // 4
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, t_chunk=t_chunk),
+        functools.partial(_fwd_kernel, t_chunk=t_chunk, gh=gh),
         grid=(T // t_chunk,),
         in_specs=[
-            pl.BlockSpec((t_chunk, B, 4 * GH), lambda t: (t, 0, 0),
+            pl.BlockSpec((t_chunk, B, 4 * gh), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GH, 4 * GH), lambda t: (0, 0),
+            pl.BlockSpec((gh, 4 * gh), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((t_chunk, B, GH), lambda t: (t, 0, 0),
+            pl.BlockSpec((t_chunk, B, gh), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((t_chunk, B, GH), lambda t: (t, 0, 0),
+            pl.BlockSpec((t_chunk, B, gh), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, GH), jnp.float32),
-            jax.ShapeDtypeStruct((T, B, GH), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, gh), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, gh), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((B, GH), jnp.float32),
-            pltpu.VMEM((B, GH), jnp.float32),
+            pltpu.VMEM((B, gh), jnp.float32),
+            pltpu.VMEM((B, gh), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
@@ -260,29 +269,30 @@ def _call_fwd(xz, wbd, *, t_chunk, interpret):
 
 def _call_bwd(xz, hprev, cprev, cseq, gseq, wbd, wbdt,
               *, t_chunk, interpret, dz_dtype=jnp.bfloat16):
-    T, B, _ = xz.shape
+    T, B, four_gh = xz.shape
+    gh = four_gh // 4
     nT = T // t_chunk
     rev = lambda t: (nT - 1 - t, 0, 0)
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, t_chunk=t_chunk),
+        functools.partial(_bwd_kernel, t_chunk=t_chunk, gh=gh),
         grid=(nT,),
         in_specs=[
-            pl.BlockSpec((t_chunk, B, 4 * GH), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((t_chunk, B, GH), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((t_chunk, B, GH), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((t_chunk, B, GH), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((t_chunk, B, GH), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((GH, 4 * GH), lambda t: (0, 0),
+            pl.BlockSpec((t_chunk, B, 4 * gh), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_chunk, B, gh), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_chunk, B, gh), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_chunk, B, gh), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((t_chunk, B, gh), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((gh, 4 * gh), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4 * GH, GH), lambda t: (0, 0),
+            pl.BlockSpec((4 * gh, gh), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((t_chunk, B, 4 * GH), rev,
+        out_specs=pl.BlockSpec((t_chunk, B, 4 * gh), rev,
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, B, 4 * GH), dz_dtype),
+        out_shape=jax.ShapeDtypeStruct((T, B, 4 * gh), dz_dtype),
         scratch_shapes=[
-            pltpu.VMEM((B, GH), jnp.float32),
-            pltpu.VMEM((B, GH), jnp.float32),
+            pltpu.VMEM((B, gh), jnp.float32),
+            pltpu.VMEM((B, gh), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
@@ -298,18 +308,19 @@ def _prep(params_f, params_r, x, lengths, xz_dtype):
     x2 = jnp.transpose(x2, (2, 1, 0, 3))                     # [T,2,B,D]
     # Input projections directly in gate-major layout via weight-folded
     # permutation: one einsum, no activation reshuffles.
+    hp = _hp_for(H)
     Wx_gm = jnp.stack([
-        _gm_weight(_pad_gates(params_f["Wx"], H, D, D), 0),
-        _gm_weight(_pad_gates(params_r["Wx"], H, D, D), 1)])  # [2,D,8Hp]
-    b_gm = (_gm_weight(_pad_gates(params_f["b"][None, :], H, 1, 1), 0)[0]
-            + _gm_weight(_pad_gates(params_r["b"][None, :], H, 1, 1), 1)[0])
+        _gm_weight(_pad_gates(params_f["Wx"], H, D, D, hp), 0, hp),
+        _gm_weight(_pad_gates(params_r["Wx"], H, D, D, hp), 1, hp)])
+    b_gm = (_gm_weight(_pad_gates(params_f["b"][None, :], H, 1, 1, hp), 0, hp)[0]
+            + _gm_weight(_pad_gates(params_r["b"][None, :], H, 1, 1, hp), 1, hp)[0])
     xz = jnp.einsum("tgbd,gdo->tbo", x2, Wx_gm,
                     preferred_element_type=jnp.float32) + b_gm
-    xz = xz.astype(xz_dtype)                                  # [T,B,8Hp]
+    xz = xz.astype(xz_dtype)                                  # [T,B,8hp]
 
     lens = jnp.full((B,), T, jnp.int32) if lengths is None else lengths
-    wbd = _make_wbd(params_f, params_r, H)
-    return x2, xz, Wx_gm, wbd, lens, H
+    wbd = _make_wbd(params_f, params_r, H, hp)
+    return x2, xz, Wx_gm, wbd, lens, H, hp
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
@@ -329,19 +340,20 @@ def bidi_lstm_pallas(params_f: dict, params_r: dict, x: jax.Array,
 
 def _fwd_impl(params_f, params_r, x, lengths, t_chunk, interpret, xz_bf16=True):
     B, T, D = x.shape
-    x2, xz, Wx_gm, wbd, lens, H = _prep(
+    x2, xz, Wx_gm, wbd, lens, H, hp = _prep(
         params_f, params_r, x, lengths,
         jnp.bfloat16 if xz_bf16 else jnp.float32)
-    tc = _auto_chunk(T, B, _fwd_trow_bytes(B, 2 if xz_bf16 else 4), t_chunk)
+    tc = _auto_chunk(T, B, _fwd_trow_bytes(B, 2 if xz_bf16 else 4, hp),
+                     t_chunk)
     h_seq, c_seq = _call_fwd(xz, wbd, t_chunk=tc, interpret=interpret)
     mask = (jnp.arange(T)[:, None] < lens[None, :]).astype(jnp.float32)
     hm = h_seq * mask[:, :, None]
     y_f = jnp.transpose(hm[:, :, :H], (1, 0, 2))             # [B,T,H]
     y_r = flip_within_length(
-        jnp.transpose(hm[:, :, HP:HP + H], (1, 0, 2)), lengths)
+        jnp.transpose(hm[:, :, hp:hp + H], (1, 0, 2)), lengths)
     y = jnp.concatenate([y_f, y_r], axis=-1).astype(x.dtype)
     res = (params_f, params_r, x, lengths, x2, xz, Wx_gm, wbd,
-           h_seq, c_seq, H)
+           h_seq, c_seq, H, hp)
     return y, res
 
 
@@ -352,25 +364,26 @@ def _vjp_fwd(params_f, params_r, x, lengths, t_chunk, interpret, xz_bf16):
 
 def _vjp_bwd(t_chunk, interpret, xz_bf16, res, gy):
     (params_f, params_r, x, lengths, x2, xz, Wx_gm, wbd,
-     h_seq, c_seq, H) = res
+     h_seq, c_seq, H, hp) = res
+    gh = 2 * hp
     B, T, D = x.shape
     gy = gy.astype(jnp.float32)
     # Cotangents of the stored carries in the combined [T,B,2Hp] layout.
     g_f = jnp.transpose(gy[..., :H], (1, 0, 2))
     g_r = jnp.transpose(flip_within_length(gy[..., H:], lengths), (1, 0, 2))
-    gseq = jnp.zeros((T, B, GH), jnp.float32)
-    gseq = gseq.at[:, :, :H].set(g_f).at[:, :, HP:HP + H].set(g_r)
+    gseq = jnp.zeros((T, B, gh), jnp.float32)
+    gseq = gseq.at[:, :, :H].set(g_f).at[:, :, hp:hp + H].set(g_r)
     # The y = mask*h_seq mask multiplies in-kernel via m; apply here too so
     # padded-frame cotangents vanish identically.
     lens = jnp.full((B,), T, jnp.int32) if lengths is None else lengths
     mask = (jnp.arange(T)[:, None] < lens[None, :]).astype(jnp.float32)
     gseq = gseq * mask[:, :, None]
 
-    zero = jnp.zeros((1, B, GH), jnp.float32)
+    zero = jnp.zeros((1, B, gh), jnp.float32)
     hprev = jnp.concatenate([zero, h_seq[:-1]], axis=0)
     cprev = jnp.concatenate([zero, c_seq[:-1]], axis=0)
     nb = 2 if xz_bf16 else 4
-    tc = _auto_chunk(T, B, _bwd_trow_bytes(B, nb, nb), t_chunk)
+    tc = _auto_chunk(T, B, _bwd_trow_bytes(B, nb, nb, hp), t_chunk)
     dz = _call_bwd(xz, hprev, cprev, c_seq, gseq, wbd,
                    jnp.swapaxes(wbd, 0, 1), t_chunk=tc, interpret=interpret,
                    dz_dtype=jnp.bfloat16 if xz_bf16 else jnp.float32)
@@ -388,9 +401,9 @@ def _vjp_bwd(t_chunk, interpret, xz_bf16, res, gy):
 
     grads = []
     for g, p in ((0, params_f), (1, params_r)):
-        dWx = _gm_cols(dWx_gm[g], g, H)
-        dWh = _gm_cols(dWh_gm[g * HP:g * HP + H], g, H)
-        db = _gm_cols(db_gm, g, H)
+        dWx = _gm_cols(dWx_gm[g], g, H, hp=hp)
+        dWh = _gm_cols(dWh_gm[g * hp:g * hp + H], g, H, hp=hp)
+        db = _gm_cols(db_gm, g, H, hp=hp)
         grads.append({"Wx": dWx.astype(p["Wx"].dtype),
                       "Wh": dWh.astype(p["Wh"].dtype),
                       "b": db.astype(p["b"].dtype)})
@@ -404,6 +417,11 @@ def _vjp_bwd(t_chunk, interpret, xz_bf16, res, gy):
 bidi_lstm_pallas.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-def fits_pallas(B: int, T: int, t_chunk: int = 8) -> bool:
+def fits_pallas(B: int, T: int, t_chunk: int = 8, H: int = 100) -> bool:
     """Conservative check that the kernel's VMEM footprint is safe."""
-    return B <= MAX_ROWS and T % _pick_chunk(T, t_chunk) == 0
+    hp = _hp_for(H)
+    # Weights + carries must fit beside the streamed blocks at chunk >= 1.
+    fixed = (2 * hp) * (8 * hp) * 4 * 2 + 4 * (MAX_ROWS * 2 * hp * 4)
+    return (B <= MAX_ROWS and T % _pick_chunk(T, t_chunk) == 0
+            and fixed < 14 * 1024 * 1024
+            and _bwd_trow_bytes(B, 2, 2, hp) <= _VMEM_BUDGET)

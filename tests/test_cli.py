@@ -110,3 +110,33 @@ def test_clstmfiltertrain_and_filter(tmp_path, monkeypatch, capsys):
     assert rc == 0
     out = capsys.readouterr().out.strip()
     assert isinstance(out, str)
+
+
+def test_clstmfiltertrain_batched(tmp_path, monkeypatch, capsys):
+    """batch_size>1 routes through the bucketed batched loop."""
+    rng = np.random.RandomState(1)
+
+    def norep(n):
+        s = [rng.choice(list("abc"))]
+        while len(s) < n:
+            c = rng.choice(list("abc"))
+            if c != s[-1]:
+                s.append(c)
+        return "".join(s)
+
+    pairs = [(s, s[:3].upper()) for s in (norep(6) for _ in range(24))]
+    tsv = tmp_path / "train.tsv"
+    tsv.write_text("\n".join(f"{a}\t{b}" for a, b in pairs) + "\n")
+    save = str(tmp_path / "filter")
+    env = {"save_name": save, "ntrain": "1200", "lrate": "0.02",
+           "momentum": "0.9", "nhidden": "16", "report_every": "400",
+           "save_every": "1200", "test_every": "600", "randseed": "0",
+           "batch_size": "8"}
+    for k, v in env.items():
+        monkeypatch.setenv(k, v)
+    from clstm_tpu.cli import clstmfiltertrain
+    rc = clstmfiltertrain.main([str(tsv), str(tsv)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "TESTERR" in out and "pairs/s" in out
+    assert os.path.exists(save + "-last.clstm")

@@ -58,3 +58,22 @@ def test_bf16_streaming_close():
     got = bidi_lstm_pallas(pf, pr, x, lengths, 8, True, True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=0.05, atol=5e-3)
+
+
+def test_large_hidden_hp256():
+    """nhidden > 128 exercises the hp=256 padded layout (config 4 sizes)."""
+    B, T, D, H = 2, 8, 5, 136
+    pf = lstm_init(jax.random.PRNGKey(20), D, H, scale=0.2)
+    pr = lstm_init(jax.random.PRNGKey(21), D, H, scale=0.2)
+    x = jax.random.normal(jax.random.PRNGKey(22), (B, T, D))
+    lengths = jnp.array([8, 3])
+    want = bidi_lstm_apply(pf, pr, x, lengths)
+    got = bidi_lstm_pallas(pf, pr, x, lengths, 4, True, False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-6)
+    g1 = jax.grad(lambda a: jnp.sum(bidi_lstm_apply(a, pr, x, lengths) ** 2))(pf)
+    g2 = jax.grad(lambda a: jnp.sum(
+        bidi_lstm_pallas(a, pr, x, lengths, 4, True, False) ** 2))(pf)
+    for k in g1:
+        np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g2[k]),
+                                   rtol=5e-4, atol=1e-4)

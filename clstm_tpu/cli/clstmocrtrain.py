@@ -72,6 +72,7 @@ def main(argv=None) -> int:
     net_kind = getsenv("net", "bidi")
     log_jsonl = getsenv("log_jsonl", "")
     display_every = getienv("display_every", 0)
+    gradient_clip = getdenv("gradient_clip", 0.0)
 
     train_ds = OcrDataset(argv[0], target_height=target_height, dewarp=dewarp)
     test_ds = (OcrDataset(argv[1], target_height=target_height, dewarp=dewarp)
@@ -88,6 +89,7 @@ def main(argv=None) -> int:
         codec = train_ds.build_codec()
         ocr.createBidi(codec, nhidden, kind=net_kind, seed=randseed)
     ocr.setLearningRate(lrate, momentum)
+    ocr.gradient_clip = gradient_clip
     print(f"# codec size {codec.size()}, net {net_kind}, nhidden {nhidden}")
 
     print("# preparing lines...", flush=True)

@@ -53,6 +53,7 @@ class _TrainableBase:
         self.lr = 1e-4
         self.momentum = 0.9
         self.normalization = "none"
+        self.gradient_clip = 0.0   # >0 enables global-norm clipping
         self._step = None
         self._predict = None
 
@@ -65,7 +66,8 @@ class _TrainableBase:
         if self._step is None:
             self._step = make_train_step(
                 self.spec, self.lr, self.momentum, loss_kind="ctc",
-                normalization=self.normalization, donate=False)
+                normalization=self.normalization,
+                gradient_clip=self.gradient_clip, donate=False)
             self._predict = make_predict_step(self.spec)
 
     def train_batch(self, batch: dict) -> dict:

@@ -126,9 +126,23 @@ def frame_target_loss(spec: NetSpec, params: dict, batch: dict, *,
 _LOSSES = {"ctc": ctc_alignment_loss, "frames": frame_target_loss}
 
 
+def clip_by_global_norm(grads: dict, max_norm: float) -> dict:
+    """Scale the gradient pytree so its global L2 norm is <= max_norm.
+
+    The reference has no clipping (momentum can blow up on long runs —
+    observed on the synthetic UW3 run around trial 150k); this is an
+    opt-in stability addition, off by default for exact reference
+    semantics."""
+    norm = jnp.sqrt(sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
+                        for g in jax.tree.leaves(grads)))
+    scale = jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-12))
+    return jax.tree.map(lambda g: g * scale, grads)
+
+
 def make_train_step(spec: NetSpec, lr: float = 1e-4, momentum: float = 0.9, *,
                     loss_kind: str = "ctc",
                     normalization: str = "none", compute_dtype=None,
+                    gradient_clip: float = 0.0,
                     donate: bool = True):
     """Build the jitted end-to-end training step.
 
@@ -137,7 +151,8 @@ def make_train_step(spec: NetSpec, lr: float = 1e-4, momentum: float = 0.9, *,
     runtime — reference setLearningRate — does NOT recompile. metrics
     carries the scalar loss plus per-frame argmax ids/probs (tiny [B, T]
     arrays) so the host can greedy-decode report lines without transferring
-    the full [B, T, C] posteriors.
+    the full [B, T, C] posteriors. gradient_clip > 0 enables global-norm
+    clipping (non-reference stability option).
     """
     loss_fn = _LOSSES[loss_kind]
 
@@ -147,6 +162,8 @@ def make_train_step(spec: NetSpec, lr: float = 1e-4, momentum: float = 0.9, *,
                               normalization=normalization,
                               compute_dtype=compute_dtype),
             has_aux=True)(state.params)
+        if gradient_clip > 0:
+            grads = clip_by_global_norm(grads, gradient_clip)
         params, velocity = sgd_update(state.params, state.velocity, grads,
                                       lr_t, momentum_t)
         ids, vals = greedy_frames(probs)

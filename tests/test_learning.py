@@ -99,3 +99,18 @@ def test_ctc_training_learns_toy_transduction():
         if got == list(syms[b]):
             correct += 1
     assert correct >= B // 2, (correct, B)
+
+
+def test_gradient_clipping():
+    """Opt-in global-norm clip bounds the update magnitude."""
+    import jax.numpy as jnp
+    from clstm_tpu.train import clip_by_global_norm
+
+    g = {"a": jnp.full((4,), 100.0), "b": jnp.full((3,), -50.0)}
+    c = clip_by_global_norm(g, 1.0)
+    norm = float(jnp.sqrt(sum(jnp.sum(v ** 2) for v in jax.tree.leaves(c))))
+    assert abs(norm - 1.0) < 1e-5
+    # under the limit -> unchanged
+    g2 = {"a": jnp.full((4,), 0.1)}
+    c2 = clip_by_global_norm(g2, 10.0)
+    np.testing.assert_allclose(np.asarray(c2["a"]), 0.1, rtol=1e-6)

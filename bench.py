@@ -12,6 +12,8 @@ benchmarks/baseline_proxy.json; the reference itself publishes no numbers
 (BASELINE.md).
 
 Extra env knobs: bench_batch=256 bench_T=1024 bench_steps=20 bench_bf16=0
+bench_net=bidi bench_nhidden=100 bench_nclasses=96 (set net=bidi2
+nhidden=200 nclasses=400 for the config-4 deep large-alphabet profile).
 """
 
 from __future__ import annotations
@@ -57,10 +59,13 @@ def main() -> int:
     true_T = 900
     steps = int(os.environ.get("bench_steps", 20))
     use_bf16 = os.environ.get("bench_bf16", "0") not in ("0", "")
-    height, nhidden, nclasses, nchars = 48, 100, 96, 40
+    net = os.environ.get("bench_net", "bidi")
+    nhidden = int(os.environ.get("bench_nhidden", 100))
+    nclasses = int(os.environ.get("bench_nclasses", 96))
+    height, nchars = 48, 40
 
     spec, params = make_net_init(
-        "bidi", {"ninput": height, "nhidden": nhidden, "noutput": nclasses},
+        net, {"ninput": height, "nhidden": nhidden, "noutput": nclasses},
         jax.random.PRNGKey(0))
     state = TrainState.create(params)
     step = make_train_step(
@@ -92,8 +97,11 @@ def main() -> int:
     rate = steps * B / dt
 
     baseline = get_baseline()
+    metric = "uw3_bidilstm_ctc_train_lines_per_sec_per_chip"
+    if (net, nhidden, nclasses) != ("bidi", 100, 96):
+        metric = f"{net}_nh{nhidden}_nc{nclasses}_ctc_train_lines_per_sec_per_chip"
     print(json.dumps({
-        "metric": "uw3_bidilstm_ctc_train_lines_per_sec_per_chip",
+        "metric": metric,
         "value": round(rate, 2),
         "unit": "lines/sec",
         "vs_baseline": round(rate / baseline, 2),

@@ -73,6 +73,7 @@ def main(argv=None) -> int:
     log_jsonl = getsenv("log_jsonl", "")
     display_every = getienv("display_every", 0)
     gradient_clip = getdenv("gradient_clip", 0.0)
+    normalization = getsenv("normalization", "none")
 
     train_ds = OcrDataset(argv[0], target_height=target_height, dewarp=dewarp)
     test_ds = (OcrDataset(argv[1], target_height=target_height, dewarp=dewarp)
@@ -90,6 +91,7 @@ def main(argv=None) -> int:
         ocr.createBidi(codec, nhidden, kind=net_kind, seed=randseed)
     ocr.setLearningRate(lrate, momentum)
     ocr.gradient_clip = gradient_clip
+    ocr.normalization = normalization  # reference lr-normalization attr
     print(f"# codec size {codec.size()}, net {net_kind}, nhidden {nhidden}")
 
     print("# preparing lines...", flush=True)

@@ -57,7 +57,8 @@ def train_batched(model: CLSTMText, train_pairs, test_pairs, *, ntrain,
     t0 = time.time()
     while trials < ntrain:
         for batch in make_text_batches(train_pairs, model.icodec, model.codec,
-                                       batch_size, rng=rng):
+                                       batch_size, rng=rng,
+                                       input_repeat=model.input_repeat):
             m = model.train_batch(batch)
             trials += len(batch["texts"])
             if trials >= next_report:
@@ -103,13 +104,14 @@ def main(argv=None) -> int:
     randseed = getienv("randseed", 0)
     net_kind = getsenv("net", "bidi")
     batch_size = getienv("batch_size", 1)
+    input_repeat = getienv("input_repeat", 1)
 
     train_pairs = read_tsv(argv[0])
     test_pairs = read_tsv(argv[1]) if len(argv) > 1 else None
     print(f"# {len(train_pairs)} training pairs"
           + (f", {len(test_pairs)} test pairs" if test_pairs else ""))
 
-    model = CLSTMText()
+    model = CLSTMText(input_repeat=input_repeat)
     if load:
         model.load(load)
         print(f"# loaded {load}")

@@ -170,17 +170,20 @@ def make_text_batches(pairs, icodec, codec, batch_size: int,
                       t_buckets: Sequence[int] = (16, 32, 48, 64, 96, 128,
                                                   192, 256, 384, 512),
                       s_buckets: Sequence[int] = S_BUCKETS,
-                      rng: Optional[np.random.RandomState] = None) -> Iterator[dict]:
+                      rng: Optional[np.random.RandomState] = None,
+                      input_repeat: int = 1) -> Iterator[dict]:
     """Bucketed batches for string transduction (clstmfiltertrain):
     one-hot encode inputs through ``icodec``, CTC targets through
-    ``codec``. Same contract as make_batches."""
+    ``codec``. Same contract as make_batches; input_repeat as in
+    CLSTMText."""
     ni = icodec.size()
+    k = max(1, int(input_repeat))
     samples = []
     for a, b in pairs:
         ids = icodec.encode(a)
-        x = np.zeros((max(len(ids), 1), ni), np.float32)
+        x = np.zeros((max(len(ids) * k, 1), ni), np.float32)
         for t, c in enumerate(ids):
-            x[t, c] = 1.0
+            x[t * k:(t + 1) * k, c] = 1.0
         samples.append((x, b))
     yield from make_batches(samples, codec, batch_size,
                             t_buckets=t_buckets, s_buckets=s_buckets, rng=rng)

@@ -187,10 +187,17 @@ class CLSTMText(_TrainableBase):
 
     Input strings are one-hot encoded with a separate input codec
     (``icodec``); outputs decode through ``codec``.
+
+    ``input_repeat`` replicates each input frame k times (default 1 =
+    reference behavior). For transduction tasks whose outputs are nearly
+    as long as their inputs (e.g. grapheme->phoneme), CTC has no alignment
+    slack at k=1 — every frame must emit — and training stalls; k>=2
+    restores slack. This is a task-shaping option, not a semantic change.
     """
 
-    def __init__(self):
+    def __init__(self, input_repeat: int = 1):
         super().__init__()
+        self.input_repeat = max(1, int(input_repeat))
 
     def createBidi(self, icodec: Codec, codec: Codec, nhidden: int,
                    kind: str = "bidi", seed: int = 0, **extra) -> None:
@@ -204,11 +211,13 @@ class CLSTMText(_TrainableBase):
         self._step = None
 
     def encode_input(self, s: str) -> np.ndarray:
-        """One-hot [T, icodec.size()] encoding of the input string."""
+        """One-hot [T, icodec.size()] encoding of the input string
+        (each char repeated ``input_repeat`` times)."""
         ids = self.icodec.encode(s)
-        x = np.zeros((max(len(ids), 1), self.icodec.size()), np.float32)
+        k = self.input_repeat
+        x = np.zeros((max(len(ids) * k, 1), self.icodec.size()), np.float32)
         for t, c in enumerate(ids):
-            x[t, c] = 1.0
+            x[t * k:(t + 1) * k, c] = 1.0
         return x
 
     def _one_batch(self, x: np.ndarray, classes: Sequence[int]) -> dict:

@@ -16,8 +16,12 @@ No backward pass exists or is needed: alignment targets are computed under
 stop_gradient (the reference's training rule; see train.py).
 
 Layout requirements: S (state dim) padded to a multiple of 128 (lane
-width) with NEG entries — ctc.py handles the padding; T padded to a
-multiple of the chunk size with frames masked invalid via ``tvalid``.
+width) with NEG entries — ctc.py handles the padding. Frame validity is
+derived from per-row ``lengths`` (padding must be a contiguous suffix):
+the forward kernel needs no per-step masking at all (valid rows are
+written before the recurrence enters a row's padding; the caller masks
+``both``), while the backward kernel masks — it walks backward through
+the padding before reaching valid frames.
 """
 
 from __future__ import annotations

@@ -114,3 +114,32 @@ def test_gradient_clipping():
     g2 = {"a": jnp.full((4,), 0.1)}
     c2 = clip_by_global_norm(g2, 10.0)
     np.testing.assert_allclose(np.asarray(c2["a"]), 0.1, rtol=1e-6)
+
+
+def test_normalization_modes():
+    """Loss normalization {none, len, batch} scales as specified
+    (reference lr-normalization attr; SURVEY.md §2 INetwork row)."""
+    import jax
+    import jax.numpy as jnp
+    from clstm_tpu.models.prefab import make_net_init
+    from clstm_tpu.ops.ctc import mktargets_ids
+    from clstm_tpu.train import ctc_alignment_loss
+
+    nsym, B, T = 4, 3, 12
+    spec, params = make_net_init(
+        "lstm1", {"ninput": nsym, "nhidden": 6, "noutput": nsym},
+        jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(B, T, nsym).astype(np.float32))
+    tids = jnp.asarray(np.stack([mktargets_ids([1, 2]) for _ in range(B)]))
+    batch = {"x": x, "lengths": jnp.full((B,), T, jnp.int32),
+             "targets": tids, "target_lengths": jnp.full((B,), 5, jnp.int32)}
+
+    l_none, _ = ctc_alignment_loss(spec, params, batch, normalization="none")
+    l_batch, _ = ctc_alignment_loss(spec, params, batch, normalization="batch")
+    l_len, _ = ctc_alignment_loss(spec, params, batch, normalization="len")
+    np.testing.assert_allclose(float(l_batch), float(l_none) / B, rtol=1e-6)
+    np.testing.assert_allclose(float(l_len), float(l_none) / T, rtol=1e-5)
+    import pytest
+    with pytest.raises(ValueError):
+        ctc_alignment_loss(spec, params, batch, normalization="bogus")

@@ -74,6 +74,7 @@ def main(argv=None) -> int:
     display_every = getienv("display_every", 0)
     gradient_clip = getdenv("gradient_clip", 0.0)
     normalization = getsenv("normalization", "none")
+    initial = getdenv("initial", 0.0)  # weight init scale (0 = default)
 
     train_ds = OcrDataset(argv[0], target_height=target_height, dewarp=dewarp)
     test_ds = (OcrDataset(argv[1], target_height=target_height, dewarp=dewarp)
@@ -88,7 +89,8 @@ def main(argv=None) -> int:
         print(f"# loaded {load}")
     else:
         codec = train_ds.build_codec()
-        ocr.createBidi(codec, nhidden, kind=net_kind, seed=randseed)
+        extra = {"initial": initial} if initial > 0 else {}
+        ocr.createBidi(codec, nhidden, kind=net_kind, seed=randseed, **extra)
     ocr.setLearningRate(lrate, momentum)
     ocr.gradient_clip = gradient_clip
     ocr.normalization = normalization  # reference lr-normalization attr

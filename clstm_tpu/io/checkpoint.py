@@ -10,8 +10,6 @@ exactly where it stopped.
 
 from __future__ import annotations
 
-import json
-
 import numpy as np
 import jax
 import jax.numpy as jnp

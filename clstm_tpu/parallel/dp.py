@@ -11,11 +11,9 @@ batch: per-line loss contributions are summed in both cases.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from clstm_tpu.models.spec import NetSpec
 from clstm_tpu.ops.ctc import greedy_frames

@@ -10,7 +10,6 @@ typed dataclasses.
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 
 def getsenv(name: str, default: str = "") -> str:

@@ -206,9 +206,18 @@ class CLSTMText(_TrainableBase):
         args = {"ninput": icodec.size(), "nhidden": nhidden,
                 "noutput": codec.size(), **extra}
         self.spec = make_net(kind, args)
+        if self.input_repeat != 1:
+            # Persist in the net attrs so the .clstm checkpoint restores
+            # the input encoding (a k=3-trained model decodes garbage at
+            # k=1; caught driving clstmfilter against a saved model).
+            self.spec = self.spec.with_attr(input_repeat=self.input_repeat)
         self.state = TrainState.create(
             init_net(self.spec, jax.random.PRNGKey(seed)))
         self._step = None
+
+    def load(self, fname: str) -> None:
+        super().load(fname)
+        self.input_repeat = int(self.spec.get("input_repeat", "1"))
 
     def encode_input(self, s: str) -> np.ndarray:
         """One-hot [T, icodec.size()] encoding of the input string

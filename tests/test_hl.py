@@ -93,3 +93,20 @@ def test_text_transduction_learns():
             assert isinstance(pred, str)
     ok = sum(t.predict(a) == b for a, b in zip(ins, outs))
     assert ok >= len(ins) * 2 // 3, (ok, len(ins))
+
+
+def test_text_input_repeat_round_trips(tmp_path):
+    """input_repeat persists through .clstm save/load (a k-trained model
+    must not silently decode at k=1)."""
+    icodec = Codec.build(["ab"])
+    codec = Codec.build(["AB"])
+    t = CLSTMText(input_repeat=3)
+    t.createBidi(icodec, codec, nhidden=8, seed=0)
+    assert t.encode_input("ab").shape[0] == 6
+    f = str(tmp_path / "f.clstm")
+    t.save(f)
+    t2 = CLSTMText()
+    t2.load(f)
+    assert t2.input_repeat == 3
+    assert t2.encode_input("ab").shape[0] == 6
+    assert t2.predict("ab") == t.predict("ab")

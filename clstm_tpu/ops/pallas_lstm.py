@@ -142,8 +142,8 @@ def _fwd_kernel(xz_ref, wbd_ref, h_seq_ref, c_seq_ref,
         h_new = jnp.tanh(c_new) * go
         c_ref[:, :] = c_new
         h_ref[:, :] = h_new
-        h_seq_ref[r] = h_new
-        c_seq_ref[r] = c_new
+        h_seq_ref[r] = h_new.astype(h_seq_ref.dtype)
+        c_seq_ref[r] = c_new.astype(c_seq_ref.dtype)
         return _
 
     jax.lax.fori_loop(0, t_chunk, body, None)
@@ -170,15 +170,15 @@ def _bwd_kernel(xz_ref, hprev_ref, cprev_ref, cseq_ref, g_ref,
 
     def body(rr, _):
         r = t_chunk - 1 - rr
-        h_prev = hprev_ref[r]
-        c_prev = cprev_ref[r]
+        h_prev = hprev_ref[r].astype(jnp.float32)
+        c_prev = cprev_ref[r].astype(jnp.float32)
         z = xz_ref[r].astype(jnp.float32) + jnp.dot(
             h_prev, wbd_ref[:, :], preferred_element_type=jnp.float32)
         gi = jax.nn.sigmoid(z[:, 0 * gh:1 * gh])
         gf = jax.nn.sigmoid(z[:, 1 * gh:2 * gh])
         go = jax.nn.sigmoid(z[:, 2 * gh:3 * gh])
         ci = jnp.tanh(z[:, 3 * gh:4 * gh])
-        tc_new = jnp.tanh(cseq_ref[r])
+        tc_new = jnp.tanh(cseq_ref[r].astype(jnp.float32))
 
         dh_new = g_ref[r] + Dh_ref[:, :]
         dc_new = Dc_ref[:, :] + dh_new * go * (1.0 - tc_new * tc_new)
@@ -222,20 +222,22 @@ def _auto_chunk(T: int, B: int, bytes_per_trow: int, target: int = 8) -> int:
     return t
 
 
-def _fwd_trow_bytes(B: int, xz_bytes: int, hp: int = HP) -> int:
-    # xz block + 2 f32 output blocks, all double-buffered.
+def _fwd_trow_bytes(B: int, xz_bytes: int, hp: int = HP,
+                    seq_bytes: int = 4) -> int:
+    # xz block + 2 output blocks, all double-buffered.
     gh = 2 * hp
-    return 2 * (B * 4 * gh * xz_bytes) + 2 * 2 * (B * gh * 4)
+    return 2 * (B * 4 * gh * xz_bytes) + 2 * 2 * (B * gh * seq_bytes)
 
 
-def _bwd_trow_bytes(B: int, xz_bytes: int, dz_bytes: int, hp: int = HP) -> int:
-    # xz + 4 f32 inputs (hprev/cprev/cseq/g) + dz output, double-buffered.
+def _bwd_trow_bytes(B: int, xz_bytes: int, dz_bytes: int, hp: int = HP,
+                    seq_bytes: int = 4) -> int:
+    # xz + 3 seq inputs (hprev/cprev/cseq) + f32 g + dz out, double-buffered.
     gh = 2 * hp
-    return 2 * (B * 4 * gh * xz_bytes) + 2 * 4 * (B * gh * 4) \
-        + 2 * (B * 4 * gh * dz_bytes)
+    return 2 * (B * 4 * gh * xz_bytes) + 2 * 3 * (B * gh * seq_bytes) \
+        + 2 * (B * gh * 4) + 2 * (B * 4 * gh * dz_bytes)
 
 
-def _call_fwd(xz, wbd, *, t_chunk, interpret):
+def _call_fwd(xz, wbd, *, t_chunk, interpret, seq_dtype=jnp.float32):
     T, B, four_gh = xz.shape
     gh = four_gh // 4
     return pl.pallas_call(
@@ -254,8 +256,8 @@ def _call_fwd(xz, wbd, *, t_chunk, interpret):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, gh), jnp.float32),
-            jax.ShapeDtypeStruct((T, B, gh), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, gh), seq_dtype),
+            jax.ShapeDtypeStruct((T, B, gh), seq_dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((B, gh), jnp.float32),
@@ -343,11 +345,13 @@ def _fwd_impl(params_f, params_r, x, lengths, t_chunk, interpret, xz_bf16=True):
     x2, xz, Wx_gm, wbd, lens, H, hp = _prep(
         params_f, params_r, x, lengths,
         jnp.bfloat16 if xz_bf16 else jnp.float32)
-    tc = _auto_chunk(T, B, _fwd_trow_bytes(B, 2 if xz_bf16 else 4, hp),
-                     t_chunk)
-    h_seq, c_seq = _call_fwd(xz, wbd, t_chunk=tc, interpret=interpret)
+    nb = 2 if xz_bf16 else 4
+    tc = _auto_chunk(T, B, _fwd_trow_bytes(B, nb, hp, seq_bytes=nb), t_chunk)
+    h_seq, c_seq = _call_fwd(
+        xz, wbd, t_chunk=tc, interpret=interpret,
+        seq_dtype=jnp.bfloat16 if xz_bf16 else jnp.float32)
     mask = (jnp.arange(T)[:, None] < lens[None, :]).astype(jnp.float32)
-    hm = h_seq * mask[:, :, None]
+    hm = h_seq.astype(jnp.float32) * mask[:, :, None]
     y_f = jnp.transpose(hm[:, :, :H], (1, 0, 2))             # [B,T,H]
     y_r = flip_within_length(
         jnp.transpose(hm[:, :, hp:hp + H], (1, 0, 2)), lengths)
@@ -379,11 +383,12 @@ def _vjp_bwd(t_chunk, interpret, xz_bf16, res, gy):
     mask = (jnp.arange(T)[:, None] < lens[None, :]).astype(jnp.float32)
     gseq = gseq * mask[:, :, None]
 
-    zero = jnp.zeros((1, B, gh), jnp.float32)
+    zero = jnp.zeros((1, B, gh), h_seq.dtype)
     hprev = jnp.concatenate([zero, h_seq[:-1]], axis=0)
     cprev = jnp.concatenate([zero, c_seq[:-1]], axis=0)
     nb = 2 if xz_bf16 else 4
-    tc = _auto_chunk(T, B, _bwd_trow_bytes(B, nb, nb, hp), t_chunk)
+    tc = _auto_chunk(T, B, _bwd_trow_bytes(B, nb, nb, hp, seq_bytes=nb),
+                     t_chunk)
     dz = _call_bwd(xz, hprev, cprev, c_seq, gseq, wbd,
                    jnp.swapaxes(wbd, 0, 1), t_chunk=tc, interpret=interpret,
                    dz_dtype=jnp.bfloat16 if xz_bf16 else jnp.float32)

@@ -102,3 +102,33 @@ def test_corrupt_file_raises(tmp_path):
     f.write_bytes(b"\x00\x01garbage")
     with pytest.raises(Exception):
         load_net(str(f))
+
+
+def test_bidi2_round_trip_bitwise(tmp_path):
+    """Deep 2-stack net (config 4 shape) round-trips bitwise."""
+    spec, params = make_net_init(
+        "bidi2", {"ninput": 6, "nhidden": 5, "noutput": 7, "nhidden2": 4},
+        jax.random.PRNGKey(9))
+    f = str(tmp_path / "deep.clstm")
+    save_net(f, spec, params, codec=Codec.build(["xyz"]))
+    spec2, params2, codec2, _ = load_net(f)
+    assert spec2 == spec
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 7, 6))
+    l = jnp.array([7, 3])
+    np.testing.assert_array_equal(
+        np.asarray(apply_net(spec, params, x, l)),
+        np.asarray(apply_net(spec2, params2, x, l)))
+
+
+def test_attrs_round_trip(tmp_path):
+    """Arbitrary attrs (e.g. input_repeat, initial) survive the proto."""
+    from clstm_tpu.models.spec import init_net, layer
+    spec = layer("SoftmaxLayer", 3, 2, {"initial": "0.05", "custom_key": "v"})
+    params = init_net(spec, jax.random.PRNGKey(0))
+    f = str(tmp_path / "a.clstm")
+    save_net(f, spec, params)
+    spec2, _, _, _ = load_net(f)
+    assert spec2.get("custom_key") == "v"
+    assert spec2.dget("initial") == 0.05

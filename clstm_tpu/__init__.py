@@ -31,7 +31,9 @@ __version__ = "0.1.0"
 from clstm_tpu.models.spec import NetSpec, init_net, apply_net, network_info
 from clstm_tpu.models.prefab import make_net, make_net_init
 from clstm_tpu.models.codec import Codec
+from clstm_tpu.models.hl import CLSTMOCR, CLSTMText, CharPrediction
 from clstm_tpu.ops.ctc import ctc_align_targets, mktargets, trivial_decode
+from clstm_tpu.io.proto import load_net, save_net
 from clstm_tpu.train import TrainState, make_train_step, sgd_update
 
 __all__ = [
@@ -42,9 +44,14 @@ __all__ = [
     "make_net",
     "make_net_init",
     "Codec",
+    "CLSTMOCR",
+    "CLSTMText",
+    "CharPrediction",
     "ctc_align_targets",
     "mktargets",
     "trivial_decode",
+    "load_net",
+    "save_net",
     "TrainState",
     "make_train_step",
     "sgd_update",

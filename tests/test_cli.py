@@ -140,3 +140,47 @@ def test_clstmfiltertrain_batched(tmp_path, monkeypatch, capsys):
     out = capsys.readouterr().out
     assert "TESTERR" in out and "pairs/s" in out
     assert os.path.exists(save + "-last.clstm")
+
+
+def test_clstmfilter_batched_matches_single(tmp_path, monkeypatch, capsys):
+    """Batched stdin inference returns the same outputs, in order, as the
+    line-at-a-time path."""
+    rng = np.random.RandomState(2)
+
+    def norep(n):
+        s = [rng.choice(list("abc"))]
+        while len(s) < n:
+            c = rng.choice(list("abc"))
+            if c != s[-1]:
+                s.append(c)
+        return "".join(s)
+
+    pairs = [(s, s[:3].upper()) for s in (norep(6) for _ in range(16))]
+    tsv = tmp_path / "t.tsv"
+    tsv.write_text("\n".join(f"{a}\t{b}" for a, b in pairs) + "\n")
+    save = str(tmp_path / "f")
+    env = {"save_name": save, "ntrain": "400", "lrate": "0.05",
+           "nhidden": "12", "report_every": "400", "save_every": "400",
+           "test_every": "400", "randseed": "0", "batch_size": "8",
+           "input_repeat": "2"}
+    for k, v in env.items():
+        monkeypatch.setenv(k, v)
+    from clstm_tpu.cli import clstmfiltertrain, clstmfilter
+    assert clstmfiltertrain.main([str(tsv)]) == 0
+    capsys.readouterr()
+
+    import io as _io
+    import sys as _sys
+    monkeypatch.setenv("load", save + "-last.clstm")
+    stdin_text = "\n".join(a for a, _ in pairs[:7]) + "\n"
+
+    monkeypatch.setenv("batch_size", "4")
+    monkeypatch.setattr(_sys, "stdin", _io.StringIO(stdin_text))
+    assert clstmfilter.main([]) == 0
+    batched = capsys.readouterr().out.splitlines()
+
+    monkeypatch.setenv("batch_size", "1")
+    monkeypatch.setattr(_sys, "stdin", _io.StringIO(stdin_text))
+    assert clstmfilter.main([]) == 0
+    single = capsys.readouterr().out.splitlines()
+    assert batched == single and len(batched) == 7

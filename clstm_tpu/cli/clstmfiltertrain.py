@@ -48,7 +48,7 @@ def train_batched(model: CLSTMText, train_pairs, test_pairs, *, ntrain,
                   batch_size, report_every, save_every, test_every,
                   save_name, rng):
     """Bucketed batched training loop (the TPU throughput path)."""
-    from clstm_tpu.data.dataset import make_text_batches
+    from clstm_tpu.data.dataset import make_text_batches, pad_batch_rows
     from clstm_tpu.ops.ctc import decode_frames
 
     trials = 0
@@ -59,8 +59,9 @@ def train_batched(model: CLSTMText, train_pairs, test_pairs, *, ntrain,
         for batch in make_text_batches(train_pairs, model.icodec, model.codec,
                                        batch_size, rng=rng,
                                        input_repeat=model.input_repeat):
-            m = model.train_batch(batch)
-            trials += len(batch["texts"])
+            nreal = len(batch["texts"])
+            m = model.train_batch(pad_batch_rows(batch, batch_size))
+            trials += nreal
             if trials >= next_report:
                 next_report += report_every
                 L = batch["lengths"][0]
@@ -121,12 +122,18 @@ def main(argv=None) -> int:
         model.createBidi(icodec, codec, nhidden, kind=net_kind, seed=randseed)
     model.setLearningRate(lrate, momentum)
 
+    def report_drops():
+        for name, c in (("codec", model.codec), ("icodec", model.icodec)):
+            if c is not None and c.dropped:
+                print(f"# WARNING [{name}]: {c.dropped_report()}")
+
     rng = np.random.RandomState(randseed)
     if batch_size > 1:
         train_batched(model, train_pairs, test_pairs, ntrain=ntrain,
                       batch_size=batch_size, report_every=report_every,
                       save_every=save_every, test_every=test_every,
                       save_name=save_name, rng=rng)
+        report_drops()
         return 0
     trials = 0
     best_err = float("inf")
@@ -151,6 +158,7 @@ def main(argv=None) -> int:
         if trials % save_every == 0:
             model.save(save_name + "-last.clstm")
     model.save(save_name + "-last.clstm")
+    report_drops()
     return 0
 
 

@@ -29,7 +29,7 @@ import time
 
 import numpy as np
 
-from clstm_tpu.data.dataset import OcrDataset, make_batches
+from clstm_tpu.data.dataset import OcrDataset, make_batches, pad_batch_rows
 from clstm_tpu.models.hl import CLSTMOCR
 from clstm_tpu.ops.ctc import decode_frames
 from clstm_tpu.utils.config import getdenv, getienv, getsenv
@@ -41,8 +41,12 @@ def evaluate(ocr: CLSTMOCR, samples, codec, batch_size: int) -> float:
     total_err = 0
     total_chars = 0
     for batch in make_batches(samples, codec, batch_size):
+        nreal = len(batch["texts"])
+        # Pad remainder batches to full rows: keeps the jitted predict step
+        # at one compilation per (T, S) bucket instead of one per row count.
+        batch = pad_batch_rows(batch, batch_size)
         ids, vals = ocr.predict_batch(batch["x"], batch["lengths"])
-        for b, text in enumerate(batch["texts"]):
+        for b, text in enumerate(batch["texts"][:nreal]):
             L = batch["lengths"][b]
             pred = ocr.codec.decode(decode_frames(ids[b][:L], vals[b][:L]))
             total_err += levenshtein(text, pred)
@@ -108,14 +112,16 @@ def main(argv=None) -> int:
         display = Display(save_name + "-display.png")
     trials = 0
     best_err = float("inf")
+    warned_drops = False
     next_report = 0
     next_save = save_every
     next_test = test_every
     t0 = time.time()
     while trials < ntrain:
         for batch in make_batches(samples, codec, batch_size, rng=rng):
-            m = ocr.train_batch(batch)
-            trials += len(batch["texts"])
+            nreal = len(batch["texts"])
+            m = ocr.train_batch(pad_batch_rows(batch, batch_size))
+            trials += nreal
             if trials >= next_report:
                 next_report += report_every
                 b = 0
@@ -127,6 +133,11 @@ def main(argv=None) -> int:
                 print(f"{trials} {float(m['loss']):.4f} ({rate:.1f} lines/s)")
                 print(f"   TRU: {batch['texts'][b]!r}")
                 print(f"   OUT: {pred!r}", flush=True)
+                if codec.dropped and not warned_drops:
+                    warned_drops = True
+                    print(f"# WARNING: {codec.dropped_report()} — these "
+                          "characters cannot be learned or predicted "
+                          "(deflates apparent CER)", flush=True)
                 if jsonl:
                     jsonl.write(json.dumps({
                         "trial": trials, "loss": float(m["loss"]),
@@ -155,6 +166,8 @@ def main(argv=None) -> int:
             if trials >= ntrain:
                 break
     ocr.save(save_name + "-last.clstm")
+    if codec.dropped:
+        print(f"# {codec.dropped_report()}")
     print(f"# done: {trials} trials in {time.time()-t0:.1f}s")
     if jsonl:
         jsonl.close()

@@ -27,12 +27,17 @@ from scipy.ndimage import gaussian_filter, gaussian_filter1d, uniform_filter, zo
 
 
 class INormalizer:
-    """Interface: measure(line) then normalize(line) -> [target_height, w']."""
+    """Interface: measure(line) then normalize(line) -> [target_height, w'].
+
+    After normalize(), ``self.scale`` holds the width scale factor
+    (normalized columns per source column) so frame positions can be mapped
+    back to source-image x coordinates (reference CharPrediction.x)."""
 
     target_height: int = 48
 
     def __init__(self, target_height: int = 48):
         self.target_height = int(target_height)
+        self.scale: float = 1.0
 
     def measure(self, line: np.ndarray) -> None:
         raise NotImplementedError
@@ -56,6 +61,7 @@ class NoNormalizer(INormalizer):
         scale = self.target_height / h
         out = zoom(line.astype(np.float32), (scale, scale), order=1,
                    mode="constant", cval=0.0)
+        self.scale = out.shape[1] / max(w, 1)
         return _fix_height(out, self.target_height)
 
 
@@ -78,6 +84,7 @@ class MeanNormalizer(INormalizer):
         shifted[dst_lo:dst_lo + (src_hi - src_lo)] = line[src_lo:src_hi]
         scale = self.target_height / h
         out = zoom(shifted, (scale, scale), order=1, mode="constant", cval=0.0)
+        self.scale = out.shape[1] / max(w, 1)
         return _fix_height(out, self.target_height)
 
 
@@ -132,6 +139,7 @@ class CenterNormalizer(INormalizer):
         h, w = dewarped.shape
         scale = self.target_height / h
         out = zoom(dewarped, (scale, scale), order=1, mode="constant", cval=0.0)
+        self.scale = out.shape[1] / max(w, 1)
         return _fix_height(out, self.target_height)
 
 

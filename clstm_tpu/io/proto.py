@@ -114,10 +114,19 @@ def net_of_proto(node) -> Tuple[NetSpec, dict]:
             if name in arrays:
                 ref = arrays[name]
                 break
-        if ref is None:
+        if ref is not None:
+            weights = {"W": jnp.asarray(ref[:, 1:].T),
+                       "b": jnp.asarray(ref[:, 0])}
+        elif "w" in arrays:
+            # Separate-bias variant: "w" [O, D] + optional "b" [O] (some
+            # reference builds store the affine unfused — unverifiable with
+            # the mount empty, so accept both layouts).
+            wa = arrays["w"]
+            ba = arrays.get("b", np.zeros(wa.shape[0], np.float32))
+            weights = {"W": jnp.asarray(wa.T), "b": jnp.asarray(ba)}
+        else:
             raise ValueError(f"{kind}: no affine weight array in "
                              f"{sorted(arrays)}")
-        weights = {"W": jnp.asarray(ref[:, 1:].T), "b": jnp.asarray(ref[:, 0])}
     elif arrays:
         weights = {k: jnp.asarray(v) for k, v in arrays.items()}
     params = {"weights": weights, "sub": [p for _, p in subs]}

@@ -86,14 +86,33 @@ class _TrainableBase:
         return np.asarray(ids), np.asarray(vals)
 
     # -- checkpointing (reference save/load; .clstm proto format) --
-    def save(self, fname: str) -> None:
+    def save(self, fname: str, sidecar: bool = True) -> None:
+        """Write the .clstm proto; with sidecar=True (default) also write
+        ``fname + '.state.npz'`` carrying the full TrainState (velocity +
+        step) so resume continues the exact trajectory — the reference's
+        .clstm stores no optimizer state (SURVEY.md §5)."""
         save_net(fname, self.spec, self.state.params, codec=self.codec,
                  icodec=self.icodec)
+        if sidecar:
+            from clstm_tpu.io.checkpoint import save_state
+            save_state(fname + ".state.npz", self.state)
 
     def load(self, fname: str) -> None:
+        """Load a .clstm; if a matching ``.state.npz`` sidecar exists, also
+        restore optimizer velocity and step (else start fresh, which is the
+        reference's lossy-resume behavior)."""
+        import os
+
         spec, params, codec, icodec = load_net(fname)
         self.spec = spec
         self.state = TrainState.create(params)
+        sidecar = fname + ".state.npz"
+        if os.path.exists(sidecar):
+            from clstm_tpu.io.checkpoint import load_state
+            try:
+                self.state = load_state(sidecar, self.state)
+            except (ValueError, KeyError) as e:
+                print(f"# WARNING: ignoring stale state sidecar {sidecar}: {e}")
         if codec is not None:
             self.codec = codec
         if icodec is not None:
@@ -115,6 +134,7 @@ class CLSTMOCR(_TrainableBase):
         self.target_height = target_height
         self.dewarp = dewarp
         self.pad = pad
+        self._scale = 1.0
 
     def createBidi(self, codec: Codec, nhidden: int, kind: str = "bidi",
                    seed: int = 0, **extra) -> None:
@@ -131,7 +151,11 @@ class CLSTMOCR(_TrainableBase):
     # -- preprocessing --
     def prepare(self, image: np.ndarray) -> np.ndarray:
         norm = make_normalizer(self.dewarp, self.target_height)
-        return prepare_line(image, norm, self.pad)
+        x = prepare_line(image, norm, self.pad)
+        # Width scale of the last prepared line (normalized cols per source
+        # col), for mapping frame positions back to image x coordinates.
+        self._scale = float(getattr(norm, "scale", 1.0)) or 1.0
+        return x
 
     def _one_line_batch(self, x: np.ndarray, classes: Sequence[int]) -> dict:
         tb = bucket_for(x.shape[0], T_BUCKETS)
@@ -163,14 +187,20 @@ class CLSTMOCR(_TrainableBase):
         return self.codec.decode(decode_frames(ids, vals))
 
     def predict(self, image: np.ndarray) -> List[CharPrediction]:
-        """Aligned per-character predictions (reference aligned/charseg)."""
+        """Aligned per-character predictions (reference aligned/charseg).
+
+        ``x`` is reported in ORIGINAL image columns: the peak frame index is
+        un-padded, then divided by the normalizer's width scale (the
+        normalizer zooms both axes by target_height/strip_height)."""
         x = self.prepare(image)
+        w = image.shape[1]
         ids, vals = self._predict_one(x)
         cls, pos = decode_frames(ids, vals, return_positions=True)
         out = []
         for i, (c, t) in enumerate(zip(cls, pos)):
+            col = (int(t) - self.pad) / self._scale
             out.append(CharPrediction(
-                i=i, x=max(0, int(t) - self.pad),
+                i=i, x=int(np.clip(round(col), 0, max(w - 1, 0))),
                 c=chr(self.codec.codec[c]), p=float(vals[t])))
         return out
 

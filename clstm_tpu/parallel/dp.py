@@ -18,7 +18,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from clstm_tpu.models.spec import NetSpec
 from clstm_tpu.ops.ctc import greedy_frames
 from clstm_tpu.parallel.mesh import DATA_AXIS
-from clstm_tpu.train import TrainState, _LOSSES, sgd_update
+from clstm_tpu.train import (TrainState, _LOSSES, clip_by_global_norm,
+                             sgd_update)
 
 
 def pmean_tree(tree, axis: str):
@@ -34,6 +35,7 @@ def make_parallel_train_step(spec: NetSpec, mesh: Mesh,
                              loss_kind: str = "ctc",
                              normalization: str = "none",
                              compute_dtype=None,
+                             gradient_clip: float = 0.0,
                              axis: str = DATA_AXIS,
                              donate: bool = True):
     """Build the jitted multi-chip training step.
@@ -53,6 +55,10 @@ def make_parallel_train_step(spec: NetSpec, mesh: Mesh,
             has_aux=True)(state.params)
         grads = psum_tree(grads, axis)
         loss = jax.lax.psum(loss, axis)
+        if gradient_clip > 0:
+            # Clip AFTER the psum so the update equals the single-device
+            # clipped update on the full batch (see make_train_step).
+            grads = clip_by_global_norm(grads, gradient_clip)
         params, velocity = sgd_update(state.params, state.velocity, grads,
                                       lr_t, momentum_t)
         ids, vals = greedy_frames(probs)

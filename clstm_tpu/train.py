@@ -179,6 +179,7 @@ def make_train_step(spec: NetSpec, lr: float = 1e-4, momentum: float = 0.9, *,
                       jnp.float32(lr if lr_arg is None else lr_arg),
                       jnp.float32(momentum if momentum_arg is None else momentum_arg))
 
+    wrapped.jitted = jitted  # exposes _cache_size() for recompilation tests
     return wrapped
 
 

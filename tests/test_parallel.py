@@ -91,3 +91,34 @@ def test_parallel_frame_outputs_cover_full_batch():
     state = replicate(TrainState.create(params), mesh)
     _, m = step(state, shard_batch(batch, mesh))
     assert m["frame_ids"].shape == (B, T)
+
+
+def test_parallel_gradient_clip_matches_single_device():
+    """gradient_clip must thread through the DP step (clip after psum) so a
+    clipped multi-chip run reproduces the clipped single-device update
+    (ADVICE.md round 1)."""
+    nsym, B, T = 4, 16, 12
+    spec, params = make_net_init(
+        "bidi", {"ninput": nsym, "nhidden": 8, "noutput": nsym,
+                 "initial": 0.2}, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    batch = _ctc_batch(rng, B, T, nsym)
+
+    state1 = TrainState.create(params)
+    step1 = make_train_step(spec, 0.05, 0.9, gradient_clip=0.5, donate=False)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    for _ in range(3):
+        state1, _ = step1(state1, jb)
+
+    mesh = make_mesh(8)
+    stepN = make_parallel_train_step(spec, mesh, 0.05, 0.9,
+                                     gradient_clip=0.5, donate=False)
+    stateN = replicate(TrainState.create(params), mesh)
+    sb = shard_batch(batch, mesh)
+    for _ in range(3):
+        stateN, _ = stepN(stateN, sb)
+
+    for a, b_ in zip(jax.tree.leaves(state1.params),
+                     jax.tree.leaves(stateN.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=1e-6)

@@ -132,3 +132,25 @@ def test_attrs_round_trip(tmp_path):
     spec2, _, _, _ = load_net(f)
     assert spec2.get("custom_key") == "v"
     assert spec2.dget("initial") == 0.05
+
+
+def test_load_accepts_separate_bias_wb(tmp_path):
+    """Some reference builds may store affines unfused as "w" [O,D] + "b"
+    [O] (unverifiable with the mount empty); the loader accepts that layout
+    too (ADVICE.md round 1)."""
+    spec, params = _make("softmax", ninput=4, noutput=3)
+    node = proto_of_net(spec, params)
+    W = np.asarray(params["weights"]["W"])   # [D, O]
+    b = np.asarray(params["weights"]["b"])   # [O]
+    del node.weights[:]
+    wa = node.weights.add()
+    wa.name = "w"
+    wa.dim.extend(W.T.shape)
+    wa.value.extend(W.T.reshape(-1).tolist())
+    ba = node.weights.add()
+    ba.name = "b"
+    ba.dim.extend(b.shape)
+    ba.value.extend(b.tolist())
+    spec2, params2 = net_of_proto(node)
+    np.testing.assert_array_equal(np.asarray(params2["weights"]["W"]), W)
+    np.testing.assert_array_equal(np.asarray(params2["weights"]["b"]), b)

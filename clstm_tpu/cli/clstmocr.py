@@ -5,9 +5,13 @@ Reference: clstmocr.cc (≈L1-150, unverified). Usage:
 Env params:
   load=model.clstm  (required) model file
   output=text       "text" prints to stdout; "sidecar" writes IMG.txt files
-  charseg=0         also print per-character x positions (CharPrediction)
+  charseg=0         also print per-character x positions (CharPrediction,
+                    in ORIGINAL image columns)
   dewarp=center / target_height: taken from the model's input size by
   default; dewarp kind from env.
+  device_preprocess=1  run normalization/transposition ON DEVICE
+                    (ops/preprocess.py, the north-star preprocessing
+                    stage); 0 = host scipy path.
 Batched page inference (BASELINE config 5): all given images are bucketed
 and run as batches, not one by one.
 """
@@ -34,38 +38,64 @@ def main(argv=None) -> int:
     output = getsenv("output", "text")
     charseg = getienv("charseg", 0)
     dewarp = getsenv("dewarp", "center")
+    device_preprocess = getienv("device_preprocess", 1)
 
     ocr = CLSTMOCR(dewarp=dewarp)
     ocr.load(load)
     # target_height is the net's input dim (persisted in proto attrs).
     ocr.target_height = ocr.spec.iget("ninput", ocr.target_height)
 
-    # Prepare all lines, then run bucketed batches (batched page inference).
-    prepared = [(ocr.prepare(read_png(f)), f) for f in argv]
-    by_bucket: dict = {}
-    for i, (x, f) in enumerate(prepared):
-        tb = bucket_for(x.shape[0], T_BUCKETS)
-        by_bucket.setdefault(tb, []).append(i)
-
+    images = [read_png(f) for f in argv]
     results: dict = {}
-    for tb, idxs in by_bucket.items():
-        H = prepared[idxs[0]][0].shape[1]
-        xb = np.zeros((len(idxs), tb, H), np.float32)
-        lengths = np.zeros(len(idxs), np.int32)
-        for r, i in enumerate(idxs):
-            x = prepared[i][0]
-            T = min(x.shape[0], tb)
-            xb[r, :T] = x[:T]
-            lengths[r] = T
-        ids, vals = ocr.predict_batch(xb, lengths)
-        for r, i in enumerate(idxs):
-            L = lengths[r]
-            cls, pos = decode_frames(ids[r][:L], vals[r][:L],
-                                     return_positions=True)
-            results[i] = (cls, pos, vals[r])
+    if device_preprocess:
+        # On-device normalize+prepare: bucket raw lines by ESTIMATED
+        # normalized width, one prepare+predict launch per bucket.
+        from clstm_tpu.ops.preprocess import estimate_out_T
 
-    for i, (x, f) in enumerate(prepared):
-        cls, pos, vals = results[i]
+        by_bucket: dict = {}
+        for i, img in enumerate(images):
+            tb = bucket_for(
+                estimate_out_T([img], ocr.target_height, ocr.pad), T_BUCKETS)
+            by_bucket.setdefault(tb, []).append(i)
+        for tb, idxs in by_bucket.items():
+            ids, vals, lengths = ocr.predict_batch_images(
+                [images[i] for i in idxs])
+            for r, i in enumerate(idxs):
+                L = int(lengths[r])
+                cls, pos = decode_frames(ids[r][:L], vals[r][:L],
+                                         return_positions=True)
+                # width scale: normalized cols per source col
+                scale = max(L - 2 * ocr.pad, 1) / max(images[i].shape[1], 1)
+                results[i] = (cls, pos, vals[r], scale)
+    else:
+        # Host scipy path (reference behavior).
+        prepared = []
+        scales = []
+        for img in images:
+            prepared.append(ocr.prepare(img))
+            scales.append(ocr._scale)
+        by_bucket = {}
+        for i, x in enumerate(prepared):
+            tb = bucket_for(x.shape[0], T_BUCKETS)
+            by_bucket.setdefault(tb, []).append(i)
+        for tb, idxs in by_bucket.items():
+            H = prepared[idxs[0]].shape[1]
+            xb = np.zeros((len(idxs), tb, H), np.float32)
+            lengths = np.zeros(len(idxs), np.int32)
+            for r, i in enumerate(idxs):
+                x = prepared[i]
+                T = min(x.shape[0], tb)
+                xb[r, :T] = x[:T]
+                lengths[r] = T
+            ids, vals = ocr.predict_batch(xb, lengths)
+            for r, i in enumerate(idxs):
+                L = lengths[r]
+                cls, pos = decode_frames(ids[r][:L], vals[r][:L],
+                                         return_positions=True)
+                results[i] = (cls, pos, vals[r], scales[i])
+
+    for i, f in enumerate(argv):
+        cls, pos, vals, scale = results[i]
         text = ocr.codec.decode(cls)
         if output == "sidecar":
             out = f
@@ -78,9 +108,11 @@ def main(argv=None) -> int:
         else:
             print(f"{f}\t{text}")
         if charseg:
+            w = images[i].shape[1]
             for j, (c, t) in enumerate(zip(cls, pos)):
                 ch = chr(ocr.codec.codec[c])
-                print(f"# {j} {max(0, t - ocr.pad)} {ch!r} {vals[t]:.3f}")
+                col = int(np.clip(round((t - ocr.pad) / scale), 0, w - 1))
+                print(f"# {j} {col} {ch!r} {vals[t]:.3f}")
     return 0
 
 

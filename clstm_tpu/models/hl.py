@@ -32,6 +32,18 @@ from clstm_tpu.train import (
     TrainState, make_predict_step, make_train_step)
 
 
+def _canon_dewarp(kind: str) -> str:
+    """CLI dewarp spellings -> ops/preprocess kind (mirrors make_normalizer)."""
+    k = (kind or "center").lower()
+    if k in ("center", "dewarp"):
+        return "center"
+    if k in ("mean",):
+        return "mean"
+    if k in ("none", "no"):
+        return "none"
+    raise ValueError(f"unknown normalizer: {kind!r}")
+
+
 @dataclasses.dataclass
 class CharPrediction:
     """Aligned per-character prediction (reference CharPrediction {i,x,c,p})."""
@@ -210,6 +222,29 @@ class CLSTMOCR(_TrainableBase):
         xb[0, : x.shape[0]] = x
         ids, vals = self.predict_batch(xb, np.array([x.shape[0]], np.int32))
         return ids[0][: x.shape[0]], vals[0][: x.shape[0]]
+
+    def predict_batch_images(self, images: Sequence[np.ndarray]):
+        """Batched inference from RAW line images with the normalization/
+        transposition stage running ON DEVICE (the north-star preprocessing
+        stage; ops/preprocess.py): pack raw lines into one buffer, jit
+        normalize+prepare, feed the jitted predict step — the pixels make a
+        single host->device hop.
+
+        -> (ids [B,T], vals [B,T], lengths [B]) numpy arrays.
+        """
+        from clstm_tpu.ops.preprocess import (
+            estimate_out_T, pack_raw_images, prepare_batch_device)
+
+        self._ensure_compiled()
+        kind = _canon_dewarp(self.dewarp)
+        buf, hs, ws = pack_raw_images(images)
+        tb = bucket_for(
+            estimate_out_T(images, self.target_height, self.pad), T_BUCKETS)
+        x, lengths = prepare_batch_device(
+            jnp.asarray(buf), jnp.asarray(hs), jnp.asarray(ws), kind=kind,
+            target_height=self.target_height, out_T=tb, pad=self.pad)
+        ids, vals = self._predict(self.state.params, x, lengths)
+        return np.asarray(ids), np.asarray(vals), np.asarray(lengths)
 
 
 class CLSTMText(_TrainableBase):

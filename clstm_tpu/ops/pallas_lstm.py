@@ -1,52 +1,58 @@
 """Pallas TPU kernels for the fused bidirectional LSTM cell.
 
 The lax.scan bidi cell (ops/lstm.py bidi_lstm_apply) pays per-iteration
-dispatch and MXU issue latency on every one of T steps whose work is tiny.
-These kernels run the entire recurrence on-core with the state in VMEM.
-Round-2 redesign (the round-1 version was kernel-fast but glue-bound:
-~20ms of a 32ms step was XLA transposes/concats around 8ms of kernels):
+dispatch and MXU issue latency on every one of T steps whose work is tiny;
+these kernels run the entire recurrence on-core with the state in VMEM.
+Three rounds of profiling shaped the design (benchmarks/profile_step.py):
 
-* **Batch-major [B, T, lanes] everywhere.** No [T, B, *] transposes exist
-  anywhere on the path; Pallas blocks are (b_tile, t_chunk, lanes) and the
-  grid walks (B tiles, T chunks) with T sequential.
-* **The input projection lives INSIDE the kernels.** The host packs
-  ``xcat = [x | flip(x) | 1]`` ([B, T, 2D+1], bf16, ~67MB for the bench
-  shape) and the kernels compute the per-chunk gate pre-activations
-  ``xz = xcat @ Wcat`` on the MXU in VMEM. Round 1 materialized xz
-  [B, T, 8Hp] in HBM — 512MB written by prep, read again by BOTH kernels;
-  that traffic is gone.
-* **Both directions fused in one block-diagonal gate-major matmul**:
-  combined state ``hcat [B, 2Hp]`` times ``Wbd [2Hp, 8Hp]`` with column
-  blocks ``[gi | gf | go | ci]``, forward direction in the first Hp lanes
-  of each block, reverse in the second.
+* **Batch-major [B, T, lanes] everywhere.** Pallas blocks are
+  (b_tile, t_chunk, lanes) on a (B tiles, T chunks) grid; B > MAX_B_TILE
+  tiles over the grid instead of halving VMEM chunks.
+* **No gathers anywhere.** The reverse direction does NOT consume
+  flip-within-length gathers. Instead the kernels receive the SAME input
+  array twice — once through a forward block index map and once through a
+  time-reversed one — and reset the reverse-direction state at each row's
+  valid-region boundary with a per-step mask. Globally-reversed chain
+  order + boundary reset is EXACTLY flip-within-length semantics
+  (reference ``Reversed``, clstm.cc ≈L800-1000): the reverse recurrence
+  starts from zero state at t = len-1 and walks to t = 0; outputs for
+  t >= len are exact zeros. The layer output / cotangent / dx flips
+  reduce to ``jnp.flip`` (stride reversal) outside.
+* **The input projection lives INSIDE the kernels** from a packed
+  ``xcat = [x | 1]`` stream; the round-1 xz [B, T, 8Hp] HBM tensor
+  (512MB written + read twice at the bench shape) is gone.
+* **One matmul per step on the serial chain**: both directions' recurrent
+  matmuls fuse into one block-diagonal gate-major product — combined
+  state ``hcat [B, 2Hp]`` times ``Wbd [2Hp, 8Hp]`` with column blocks
+  ``[gi | gf | go | ci]``, forward direction in the first Hp lanes of
+  each block, reverse in the second.
 * **The forward kernel emits (h_seq, hprev, cprev)** — the pre-step state
-  streams the backward pass needs, at zero extra cost (they are the loop
-  carries). Round 1 rebuilt them outside with two [T,B,2Hp] concat-shifts.
-* **The backward kernel consumes gradients and accumulates dWcat/dWh
-  in-place**: dz never goes to HBM. Per chunk it recomputes xz, runs the
-  reverse recurrence (one matmul per step on the critical path:
-  ``Dh' = dz @ Wbd^T``), stages dz in VMEM scratch, then does three
-  amortized chunk matmuls: ``dWcat += xcat^T dz``, ``dWh += hprev^T dz``,
-  ``dxcat = dz @ Wcat^T``. c_seq is recomputed from (hprev, cprev, xz) —
-  it is not even stored.
+  streams the backward pass needs are its loop carries, free to store.
+* **The backward kernel accumulates dWf/dWr/dWh in VMEM-resident output
+  blocks and emits dx directly; dz never touches HBM.** c_seq is not even
+  stored — c_new is recomputed from (hprev, cprev, xcat).
+* **In-kernel per-step state lives in TIME-LEADING scratch**, bulk
+  transposed to/from the streamed blocks once per chunk. Per-step indexing
+  on the sublane dim of a (b, t, lanes) block costs an in-chain relayout —
+  measured 2x on the whole kernel (6.8ms vs 3.5ms at B=256, T=1024).
 
 Reference semantics (NPLSTM, clstm.cc ≈L600-800, unverified): gates
 (gi,gf,go) sigmoid, ci tanh, c' = gf*c + gi*ci, h' = tanh(c')*go — same
 math as ops/lstm.py, equivalence (forward and gradients) asserted in
-tests/test_pallas_lstm.py.
+tests/test_pallas_lstm.py and re-measured against the scan path on chip.
 
 Precision: ``xz_bf16=True`` (production default) streams activations and
 runs the MXU matmuls in bfloat16 with f32 accumulation and f32 gate math /
-loop carries (~1e-3 relative effect, well under CTC-alignment noise;
-round-1 CER runs used bf16 streams). ``xz_bf16=False`` is the strict-f32
-verification mode the equivalence tests run.
+loop carries (~1e-4 absolute effect on activations, well under
+CTC-alignment noise). ``xz_bf16=False`` is the strict-f32 verification
+mode the equivalence tests run.
 
 Hidden size is padded to Hp (multiple of 128, the lane width); padded h/c
 columns stay exactly zero through the recurrence (zero weight columns ->
-ci = 0 -> c = gf*0 = 0). There is NO per-step length masking inside the
-kernels — padding is a contiguous per-row suffix, so masking is only
-needed on the layer output and the incoming cotangents, both applied
-outside; per-step masking measured at ~80% of kernel runtime in round 1.
+ci = 0 -> c = gf*0 = 0). Forward-direction phantom frames (t >= len) are
+garbage-but-bounded and masked at the layer output; backward-direction
+phantom frames are exact zeros by the boundary-reset mask; cotangents are
+zeroed outside, so phantom frames contribute nothing to any gradient.
 """
 
 from __future__ import annotations
@@ -58,8 +64,6 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-from clstm_tpu.ops.seq import flip_within_length
 
 HP = 128           # default padded per-direction hidden size (lane width)
 MAX_B_TILE = 256   # batch rows per grid tile (B=512 runs 2 tiles, no VMEM
@@ -118,18 +122,30 @@ def _make_wbd(params_f: dict, params_r: dict, H: int, hp: int = HP):
     return jnp.concatenate(rows, axis=0)              # [2hp, 8hp]
 
 
-def _make_wcat(params_f: dict, params_r: dict, H: int, D: int, dp: int,
-               hp: int = HP):
-    """Input-projection weights for the packed [x | flip(x) | 1] stream:
-    rows 0:D -> forward Wx (group 0), D:2D -> reverse Wx (group 1), row 2D
-    -> both biases; rows beyond 2D+1 are zero padding to ``dp``."""
+def _make_wdir(params: dict, g: int, H: int, D: int, hp: int = HP,
+               with_bias_of=None):
+    """Per-direction input projection [D+1, 8hp] for the ``[x | 1]``
+    stream: rows 0:D = Wx in group-g lanes, row D = bias. The COMBINED
+    bias of both directions goes into the forward matrix (``with_bias_of``
+    supplies the other direction's params); the reverse matrix carries a
+    zero bias row so the two per-chunk projections can simply add."""
+    W = _gm_weight(_pad_gates(params["Wx"], H, D, D, hp), g, hp)
+    out = jnp.zeros((D + 1, 8 * hp), jnp.float32)
+    out = out.at[:D].set(W)
+    if with_bias_of is not None:
+        b0 = _gm_weight(_pad_gates(params["b"][None, :], H, 1, 1, hp), g, hp)[0]
+        b1 = _gm_weight(
+            _pad_gates(with_bias_of["b"][None, :], H, 1, 1, hp), 1 - g, hp)[0]
+        out = out.at[D].set(b0 + b1)
+    return out
+
+
+def _make_wxt(params_f: dict, params_r: dict, H: int, D: int, hp: int = HP):
+    """dx projection [8hp, 2D]: columns 0:D produce the forward-direction
+    dx, D:2D the (chain-ordered) reverse-direction dx."""
     Wf = _gm_weight(_pad_gates(params_f["Wx"], H, D, D, hp), 0, hp)
     Wr = _gm_weight(_pad_gates(params_r["Wx"], H, D, D, hp), 1, hp)
-    bf = _gm_weight(_pad_gates(params_f["b"][None, :], H, 1, 1, hp), 0, hp)[0]
-    br = _gm_weight(_pad_gates(params_r["b"][None, :], H, 1, 1, hp), 1, hp)[0]
-    out = jnp.zeros((dp, 8 * hp), jnp.float32)
-    out = out.at[:D].set(Wf).at[D:2 * D].set(Wr).at[2 * D].set(bf + br)
-    return out
+    return jnp.concatenate([Wf.T, Wr.T], axis=1)      # [8hp, 2D]
 
 
 # ---------------------------------------------------------------------------
@@ -145,36 +161,45 @@ def _gates(z, c_prev, gh: int):
     return gi, gf, go, ci, c_new
 
 
-def _fill_xz(xz_ref, xcat_ref, wcat, t_chunk, cd):
-    """Per-chunk input projection on the MXU into TIME-LEADING scratch
-    [tc, bt, 8hp], one sub-matmul per step so operand/result values stay
-    small (a single [bt*tc, 8hp] f32 dot result blows the Mosaic
-    scoped-stack limit at full tiles).
-
-    Time-leading scratch is the load-bearing layout choice: the serial
-    recurrence then indexes scratch on the LEADING dim (aligned full-tile
-    2D vectors). Per-step indexing on the SUBLANE dim of the streamed
-    (bt, tc, lanes) blocks costs a relayout inside the dependency chain —
-    measured ~2x on the whole kernel (6.8ms vs 3.5ms at B=256, T=1024)."""
+def _fill_xz(xz_ref, xf_ref, xr_ref, wf, wr, t_chunk, cd):
+    """Per-chunk input projection into TIME-LEADING scratch [tc, bt, 8hp]:
+    xz[r] = x_fwd[r] @ Wf + x_rev[r] @ Wr (bias folded into Wf's ones
+    row). One sub-matmul pair per step keeps operand/result values small —
+    a single [bt*tc, 8hp] f32 dot result blows the Mosaic scoped stack.
+    xr_ref arrives through a time-reversed block index map; in-block rows
+    reverse here, so chain step r sees original time T-1-s."""
     for k in range(t_chunk):
-        xz_ref[k] = jnp.dot(
-            xcat_ref[:, k, :].astype(cd), wcat,
-            preferred_element_type=jnp.float32).astype(xz_ref.dtype)
+        xz_ref[k] = (
+            jnp.dot(xf_ref[:, k, :].astype(cd), wf,
+                    preferred_element_type=jnp.float32)
+            + jnp.dot(xr_ref[:, t_chunk - 1 - k, :].astype(cd), wr,
+                      preferred_element_type=jnp.float32)
+        ).astype(xz_ref.dtype)
 
 
-def _fwd_kernel(xcat_ref, wcat_ref, wbd_ref, hseq_ref, hprev_ref, cprev_ref,
+def _rev_mask(len_gh, lane_ge_hp, s_f, T):
+    """[bt, gh] per-step mask: 1 on forward lanes; on reverse lanes 1 iff
+    chain step s has entered the row's valid region (s >= T - len, i.e.
+    original time T-1-s < len). Multiplying h/c by it each step zeroes the
+    reverse state through the phantom prefix and restarts it from exactly
+    zero at t = len-1 — flip-within-length semantics without the gather."""
+    active = (len_gh > (T - 1.0 - s_f)).astype(jnp.float32)
+    return jnp.maximum(active, 1.0 - lane_ge_hp)
+
+
+def _fwd_kernel(xf_ref, xr_ref, len_ref, wf_ref, wr_ref, wbd_ref,
+                hseq_ref, hprev_ref, cprev_ref,
                 h_ref, c_ref, xz_ref, hn_s, hs_s, cs_s, *, t_chunk: int,
-                gh: int, compute_bf16: bool):
+                gh: int, T: int, compute_bf16: bool):
     """Forward recurrence over one (b_tile, t_chunk) block.
 
     Emits h_seq (post-step, for the layer output) and hprev/cprev (pre-step
-    carries, consumed by the backward kernel). NO per-step length masking —
-    padding is a contiguous per-row SUFFIX (data/dataset bucketing
-    invariant): phantom-frame state never feeds a valid frame forward, the
-    caller masks the layer output, and the backward cotangents are exactly
-    zero through phantom frames, so phantom values poison nothing. Phantom
-    frames cannot produce NaN: x is zero-padded so z stays bounded (h in
-    tanh range)."""
+    carries, consumed by the backward kernel). Forward lanes carry NO
+    per-step length masking — padding is a contiguous per-row SUFFIX
+    (data/dataset bucketing invariant), phantom forward state never feeds
+    a valid frame, the caller masks the layer output, and backward
+    cotangents are zero through phantom frames. Reverse lanes are masked
+    by _rev_mask (their boundary reset IS the flip semantics)."""
     tc_id = pl.program_id(1)
     cd = jnp.bfloat16 if compute_bf16 else jnp.float32
 
@@ -184,21 +209,27 @@ def _fwd_kernel(xcat_ref, wcat_ref, wbd_ref, hseq_ref, hprev_ref, cprev_ref,
         c_ref[...] = jnp.zeros_like(c_ref)
 
     wbd = wbd_ref[...].astype(cd)
-    _fill_xz(xz_ref, xcat_ref, wcat_ref[...].astype(cd), t_chunk, cd)
+    _fill_xz(xz_ref, xf_ref, xr_ref, wf_ref[...].astype(cd),
+             wr_ref[...].astype(cd), t_chunk, cd)
+    hp = gh // 2
+    len_gh = jnp.concatenate([len_ref[...]] * (gh // 128), axis=1)
+    lane_ge_hp = (jax.lax.broadcasted_iota(
+        jnp.int32, len_gh.shape, 1) >= hp).astype(jnp.float32)
 
     # Statically unrolled over the chunk (Mosaic rejects DYNAMIC stores on
-    # the sublane dim; static leading-dim scratch indexing is free). h/c
-    # stay in registers; per-step results go to time-leading staging
-    # scratch, bulk-transposed into the (bt, tc, lanes) output blocks once
-    # per chunk (see _fill_xz for why).
+    # the sublane dim; time-leading scratch keeps per-step indexing on the
+    # leading dim — see module docstring). h/c stay in registers.
     h, c = h_ref[...], c_ref[...]
     for r in range(t_chunk):
         hs_s[r] = h.astype(hs_s.dtype)
         cs_s[r] = c.astype(cs_s.dtype)
+        s_f = (tc_id * t_chunk + r).astype(jnp.float32)
+        m = _rev_mask(len_gh, lane_ge_hp, s_f, float(T))
         z = xz_ref[r] + jnp.dot(
             h.astype(cd), wbd, preferred_element_type=jnp.float32)
-        gi, gf, go, ci, c = _gates(z, c, gh)
-        h = jnp.tanh(c) * go
+        gi, gf, go, ci, c_new = _gates(z, c, gh)
+        c = c_new * m
+        h = jnp.tanh(c_new) * go * m
         hn_s[r] = h.astype(hn_s.dtype)
     h_ref[...] = h
     c_ref[...] = c
@@ -207,24 +238,22 @@ def _fwd_kernel(xcat_ref, wcat_ref, wbd_ref, hseq_ref, hprev_ref, cprev_ref,
     cprev_ref[...] = jnp.transpose(cs_s[...], (1, 0, 2))
 
 
-def _bwd_kernel(xcat_ref, hprev_ref, cprev_ref, g_ref,
-                wcat_ref, wbd_ref, wbdt_ref, wcatt_ref,
-                dxcat_ref, dwcat_ref, dwh_ref,
-                Dh_ref, Dc_ref, dz_ref, xz_ref, hp_s, cp_s, g_s, dxc_s,
-                *, t_chunk: int, gh: int, compute_bf16: bool):
+def _bwd_kernel(xf_ref, xr_ref, len_ref, hprev_ref, cprev_ref, g_ref,
+                wf_ref, wr_ref, wbd_ref, wbdt_ref, wxt_ref,
+                dx_ref, dwf_ref, dwr_ref, dwh_ref,
+                Dh_ref, Dc_ref, dz_ref, xz_ref, hp_s, cp_s, g_s, dx_s,
+                *, t_chunk: int, gh: int, T: int, compute_bf16: bool):
     """Reverse-grid backward step over one (b_tile, t_chunk) block.
 
-    Recomputes gates and c_new from (xcat, hprev, cprev); carries Dh/Dc
-    [bt, gh] in scratch; stages dz [bt, tc, 8hp] in scratch, then runs the
-    amortized chunk contractions. dWcat/dWh accumulate across the WHOLE
-    grid in VMEM-resident output blocks (constant index maps).
-
-    NO per-step length masking (see _fwd_kernel): the caller zeroes the
-    padded-frame cotangents g outside, and the carries initialize to zero,
-    so through every phantom frame dh_new = g + Dh = 0, hence dz = 0,
-    hence zero contribution to every gradient — the zeros propagate
-    EXACTLY until the recurrence crosses into each row's valid region."""
+    Recomputes gates and c_new from (xcat views, hprev, cprev); carries
+    Dh/Dc [bt, gh] in registers across the unroll (scratch across chunks);
+    stages dz time-leading, then runs the amortized chunk contractions.
+    dWf/dWr/dWh accumulate across the WHOLE grid in VMEM-resident output
+    blocks (constant index maps). The _rev_mask multiply is the exact VJP
+    of the forward boundary reset; through every phantom frame dz = 0, so
+    phantom frames contribute nothing to any gradient."""
     b_id, tc_id = pl.program_id(0), pl.program_id(1)
+    nT = pl.num_programs(1)
     cd = jnp.bfloat16 if compute_bf16 else jnp.float32
 
     @pl.when(tc_id == 0)
@@ -234,71 +263,78 @@ def _bwd_kernel(xcat_ref, hprev_ref, cprev_ref, g_ref,
 
     @pl.when((b_id == 0) & (tc_id == 0))
     def _init_accums():
-        dwcat_ref[...] = jnp.zeros_like(dwcat_ref)
+        dwf_ref[...] = jnp.zeros_like(dwf_ref)
+        dwr_ref[...] = jnp.zeros_like(dwr_ref)
         dwh_ref[...] = jnp.zeros_like(dwh_ref)
 
     wbd = wbd_ref[...].astype(cd)
     wbdt = wbdt_ref[...].astype(cd)
-    _fill_xz(xz_ref, xcat_ref, wcat_ref[...].astype(cd), t_chunk, cd)
-    # Stage the streamed inputs time-leading (see _fill_xz): one bulk
-    # transpose per chunk instead of a per-step in-chain relayout.
+    _fill_xz(xz_ref, xf_ref, xr_ref, wf_ref[...].astype(cd),
+             wr_ref[...].astype(cd), t_chunk, cd)
+    # Stage streamed inputs time-leading: one bulk transpose per chunk
+    # instead of a per-step in-chain relayout.
     hp_s[...] = jnp.transpose(hprev_ref[...], (1, 0, 2))
     cp_s[...] = jnp.transpose(cprev_ref[...], (1, 0, 2))
     g_s[...] = jnp.transpose(g_ref[...], (1, 0, 2))
+    hp = gh // 2
+    len_gh = jnp.concatenate([len_ref[...]] * (gh // 128), axis=1)
+    lane_ge_hp = (jax.lax.broadcasted_iota(
+        jnp.int32, len_gh.shape, 1) >= hp).astype(jnp.float32)
+    chunk0 = (nT - 1 - tc_id) * t_chunk   # first chain step of this block
 
-    # Statically unrolled (see _fwd_kernel); Dh/Dc stay in registers.
     Dh, Dc = Dh_ref[...], Dc_ref[...]
     for r in range(t_chunk - 1, -1, -1):
         h_prev = hp_s[r].astype(jnp.float32)
         c_prev = cp_s[r].astype(jnp.float32)
+        s_f = (chunk0 + r).astype(jnp.float32)
+        m = _rev_mask(len_gh, lane_ge_hp, s_f, float(T))
         z = xz_ref[r] + jnp.dot(
             h_prev.astype(cd), wbd, preferred_element_type=jnp.float32)
         gi, gf, go, ci, c_new = _gates(z, c_prev, gh)
         tc_new = jnp.tanh(c_new)
 
-        dh_new = g_s[r].astype(jnp.float32) + Dh
-        dc_new = Dc + dh_new * go * (1.0 - tc_new * tc_new)
+        dh_new = (g_s[r].astype(jnp.float32) + Dh) * m
+        dc_new = Dc * m + dh_new * go * (1.0 - tc_new * tc_new)
         dgo = dh_new * tc_new * go * (1.0 - go)
         dgf = dc_new * c_prev * gf * (1.0 - gf)
         dgi = dc_new * ci * gi * (1.0 - gi)
         dci = dc_new * gi * (1.0 - ci * ci)
         dz = jnp.concatenate([dgi, dgf, dgo, dci], axis=1)   # [bt, 8hp]
 
-        Dh = jnp.dot(dz.astype(cd), wbdt,
-                     preferred_element_type=jnp.float32)
+        Dh = jnp.dot(dz.astype(cd), wbdt, preferred_element_type=jnp.float32)
         Dc = dc_new * gf
         dz_ref[r] = dz.astype(dz_ref.dtype)
     Dh_ref[...] = Dh
     Dc_ref[...] = Dc
 
-    # Amortized chunk contractions on the MXU, one sub-matmul per step
+    # Amortized chunk contractions on the MXU, one sub-matmul set per step
     # (small stack values; see _fill_xz). dz never leaves VMEM.
     tdot = functools.partial(
         jax.lax.dot_general, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    wcatt = wcatt_ref[...].astype(cd)
-    dwcat = dwcat_ref[...]
-    dwh = dwh_ref[...]
+    wxt = wxt_ref[...].astype(cd)
+    dwf, dwr, dwh = dwf_ref[...], dwr_ref[...], dwh_ref[...]
     for k in range(t_chunk):
         dzk = dz_ref[k].astype(cd)
-        dwcat += tdot(xcat_ref[:, k, :].astype(cd), dzk)
+        dwf += tdot(xf_ref[:, k, :].astype(cd), dzk)
+        dwr += tdot(xr_ref[:, t_chunk - 1 - k, :].astype(cd), dzk)
         dwh += tdot(hp_s[k].astype(cd), dzk)
-        dxc_s[k] = jnp.dot(
-            dzk, wcatt, preferred_element_type=jnp.float32).astype(
-                dxc_s.dtype)
-    dwcat_ref[...] = dwcat
+        dx_s[k] = jnp.dot(
+            dzk, wxt, preferred_element_type=jnp.float32).astype(dx_s.dtype)
+    dwf_ref[...] = dwf
+    dwr_ref[...] = dwr
     dwh_ref[...] = dwh
-    dxcat_ref[...] = jnp.transpose(dxc_s[...], (1, 0, 2))
+    dx_ref[...] = jnp.transpose(dx_s[...], (1, 0, 2))
 
 
 # ---------------------------------------------------------------------------
 # Host-side wrappers
 # ---------------------------------------------------------------------------
 
-# VMEM budget for streamed blocks + scratch. v5e physical VMEM is 128MB;
-# the XLA default SCOPED limit is 16MB but pallas raises it via
-# CompilerParams(vmem_limit_bytes=_VMEM_LIMIT) below (verified empirically:
-# 48MB of scratch executes fine on the chip). Leave headroom for weights,
+# VMEM budget for streamed blocks + scratch. v5e physical VMEM is far above
+# the 16MB default SCOPED limit (verified empirically: 48MB of scratch
+# executes fine); pallas raises the cap via
+# CompilerParams(vmem_limit_bytes=_VMEM_LIMIT). Leave headroom for weights,
 # carries, accumulators and compiler temporaries.
 _VMEM_LIMIT = 96 * 1024 * 1024
 _VMEM_BUDGET = 48 * 1024 * 1024
@@ -326,52 +362,65 @@ def _pick_tiles(B: int, T: int, trow_fn, target_tc: int) -> tuple[int, int]:
     return bt, tc
 
 
-def _fwd_trow_bytes(bt: int, dp: int, hp: int, nb: int) -> int:
+def _fwd_trow_bytes(bt: int, dc: int, hp: int, nb: int) -> int:
     gh = 2 * hp
-    xcat = 2 * bt * dp * nb                 # double-buffered input block
+    xcat = 2 * 2 * bt * dc * nb             # two double-buffered views
     outs = 2 * 3 * bt * gh * nb             # h_seq/hprev/cprev blocks
     xz_scratch = bt * 4 * gh * 4            # f32 chunk projection
     staging = 3 * bt * gh * nb              # time-leading output staging
     return xcat + outs + xz_scratch + staging
 
 
-def _bwd_trow_bytes(bt: int, dp: int, hp: int, nb: int) -> int:
+def _bwd_trow_bytes(bt: int, dc: int, hp: int, nb: int) -> int:
     gh = 2 * hp
-    ins = 2 * bt * (dp + 3 * gh) * nb       # xcat + hprev/cprev/g blocks
-    dxcat = 2 * bt * dp * nb
+    ins = 2 * bt * (2 * dc + 3 * gh) * nb   # x views + hprev/cprev/g
+    dx = 2 * 2 * bt * dc * nb               # dx block + staging
     xz_scratch = bt * 4 * gh * 4
     dz_scratch = bt * 4 * gh * nb
-    staging = (3 * bt * gh + bt * dp) * nb  # hp/cp/g + dxcat staging
-    return ins + dxcat + xz_scratch + dz_scratch + staging
+    staging = 3 * bt * gh * nb              # hprev/cprev/g staging
+    return ins + dx + xz_scratch + dz_scratch + staging
 
 
-def _fixed_bytes(dp: int, hp: int, bt: int, nb: int) -> int:
+def _fixed_bytes(dc: int, hp: int, bt: int, nb: int) -> int:
     """Weights + carries + accumulators resident across the grid."""
     gh = 2 * hp
-    weights = (dp + 2 * gh + dp) * 4 * gh * nb   # wcat, wbd+wbdt, wcatt
+    weights = (2 * dc + 2 * gh) * 4 * gh * nb + 4 * gh * 2 * dc * nb
     carries = 2 * bt * gh * 4
-    accums = (dp + gh) * 4 * gh * 4
+    accums = (2 * dc + gh) * 4 * gh * 4
     return weights + carries + accums
 
 
-def _call_fwd(xcat, wcat, wbd, *, b_tile, t_chunk, interpret, compute_bf16,
-              seq_dtype):
-    B, T, dp = xcat.shape
+def _len_bc(lengths, B, T):
+    lens = (jnp.full((B,), T, jnp.float32) if lengths is None
+            else lengths.astype(jnp.float32))
+    return jnp.broadcast_to(lens[:, None], (B, 128))
+
+
+def _call_fwd(xcat, len_bc, wf, wr, wbd, *, b_tile, t_chunk, interpret,
+              compute_bf16, seq_dtype):
+    B, T, dc = xcat.shape
     gh = wbd.shape[0]
-    grid = (B // b_tile, T // t_chunk)
+    nT = T // t_chunk
+    grid = (B // b_tile, nT)
+    xspec_f = pl.BlockSpec((b_tile, t_chunk, dc), lambda b, t: (b, t, 0),
+                           memory_space=pltpu.VMEM)
+    xspec_r = pl.BlockSpec((b_tile, t_chunk, dc),
+                           lambda b, t: (b, nT - 1 - t, 0),
+                           memory_space=pltpu.VMEM)
     stream = pl.BlockSpec((b_tile, t_chunk, gh), lambda b, t: (b, t, 0),
                           memory_space=pltpu.VMEM)
+    const2 = lambda shape, m=lambda b, t: (0, 0): pl.BlockSpec(
+        shape, m, memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, t_chunk=t_chunk, gh=gh,
+        functools.partial(_fwd_kernel, t_chunk=t_chunk, gh=gh, T=T,
                           compute_bf16=compute_bf16),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((b_tile, t_chunk, dp), lambda b, t: (b, t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((dp, 4 * gh), lambda b, t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((gh, 4 * gh), lambda b, t: (0, 0),
-                         memory_space=pltpu.VMEM),
+            xspec_f, xspec_r,
+            const2((b_tile, 128), lambda b, t: (b, 0)),
+            const2((dc, 4 * gh)),
+            const2((dc, 4 * gh)),
+            const2((gh, 4 * gh)),
         ],
         out_specs=[stream, stream, stream],
         out_shape=[jax.ShapeDtypeStruct((B, T, gh), seq_dtype)] * 3,
@@ -387,41 +436,54 @@ def _call_fwd(xcat, wcat, wbd, *, b_tile, t_chunk, interpret, compute_bf16,
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(xcat, wcat, wbd)
+    )(xcat, xcat, len_bc, wf, wr, wbd)
 
 
-def _call_bwd(xcat, hprev, cprev, gseq, wcat, wbd, *, b_tile, t_chunk,
-              interpret, compute_bf16, dx_dtype):
-    B, T, dp = xcat.shape
+def _call_bwd(xcat, len_bc, hprev, cprev, gseq, wf, wr, wbd, wxt,
+              *, b_tile, t_chunk, interpret, compute_bf16, dx_dtype):
+    B, T, dc = xcat.shape
     gh = wbd.shape[0]
+    dx2 = wxt.shape[1]
     nT = T // t_chunk
     grid = (B // b_tile, nT)
     rev = lambda b, t: (b, nT - 1 - t, 0)
+    fwd_map = lambda b, t: (b, t, 0)
+    # The backward grid walks chain chunks in reverse; composing the
+    # reverse-view map with the grid reversal makes the reverse view's map
+    # the PLAIN one (and the forward view's the reversed one).
+    xspec_f = pl.BlockSpec((b_tile, t_chunk, dc), rev, memory_space=pltpu.VMEM)
+    xspec_r = pl.BlockSpec((b_tile, t_chunk, dc), fwd_map,
+                           memory_space=pltpu.VMEM)
     stream = pl.BlockSpec((b_tile, t_chunk, gh), rev, memory_space=pltpu.VMEM)
-    const2 = lambda shape: pl.BlockSpec(shape, lambda b, t: (0, 0),
-                                        memory_space=pltpu.VMEM)
+    const2 = lambda shape, m=lambda b, t: (0, 0): pl.BlockSpec(
+        shape, m, memory_space=pltpu.VMEM)
     wdt = jnp.bfloat16 if compute_bf16 else jnp.float32
     dz_dt = jnp.bfloat16 if compute_bf16 else jnp.float32
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, t_chunk=t_chunk, gh=gh,
+        functools.partial(_bwd_kernel, t_chunk=t_chunk, gh=gh, T=T,
                           compute_bf16=compute_bf16),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((b_tile, t_chunk, dp), rev, memory_space=pltpu.VMEM),
+            xspec_f, xspec_r,
+            const2((b_tile, 128), lambda b, t: (b, 0)),
             stream, stream, stream,
-            const2((dp, 4 * gh)),
+            const2((dc, 4 * gh)),
+            const2((dc, 4 * gh)),
             const2((gh, 4 * gh)),
             const2((4 * gh, gh)),
-            const2((4 * gh, dp)),
+            const2((4 * gh, dx2)),
         ],
         out_specs=[
-            pl.BlockSpec((b_tile, t_chunk, dp), rev, memory_space=pltpu.VMEM),
-            const2((dp, 4 * gh)),
+            pl.BlockSpec((b_tile, t_chunk, dx2), rev,
+                         memory_space=pltpu.VMEM),
+            const2((dc, 4 * gh)),
+            const2((dc, 4 * gh)),
             const2((gh, 4 * gh)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, T, dp), dx_dtype),
-            jax.ShapeDtypeStruct((dp, 4 * gh), jnp.float32),
+            jax.ShapeDtypeStruct((B, T, dx2), dx_dtype),
+            jax.ShapeDtypeStruct((dc, 4 * gh), jnp.float32),
+            jax.ShapeDtypeStruct((dc, 4 * gh), jnp.float32),
             jax.ShapeDtypeStruct((gh, 4 * gh), jnp.float32),
         ],
         scratch_shapes=[
@@ -432,33 +494,30 @@ def _call_bwd(xcat, hprev, cprev, gseq, wcat, wbd, *, b_tile, t_chunk,
             pltpu.VMEM((t_chunk, b_tile, gh), dz_dt),
             pltpu.VMEM((t_chunk, b_tile, gh), dz_dt),
             pltpu.VMEM((t_chunk, b_tile, gh), dz_dt),
-            pltpu.VMEM((t_chunk, b_tile, dp), dx_dtype),
+            pltpu.VMEM((t_chunk, b_tile, dx2), dx_dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(xcat, hprev, cprev, gseq,
-      wcat.astype(wdt), wbd.astype(wdt),
-      jnp.swapaxes(wbd, 0, 1).astype(wdt),
-      jnp.swapaxes(wcat, 0, 1).astype(wdt))
+    )(xcat, xcat, len_bc, hprev, cprev, gseq,
+      wf.astype(wdt), wr.astype(wdt), wbd.astype(wdt),
+      jnp.swapaxes(wbd, 0, 1).astype(wdt), wxt.astype(wdt))
 
 
 def _prep(params_f, params_r, x, lengths, bf16: bool):
-    """Pack the [x | flip(x) | 1] stream and the gate-major weights."""
+    """Pack the [x | 1] stream and the gate-major weights. NO gathers —
+    the reverse direction is realized inside the kernels via time-reversed
+    block views plus the boundary-reset mask."""
     B, T, D = x.shape
     H = params_f["Wh"].shape[0]
     hp = _hp_for(H)
-    dp = -(-(2 * D + 1) // 128) * 128
-    xr = flip_within_length(x, lengths)
-    ones = jnp.ones((B, T, 1), x.dtype)
-    pad = jnp.zeros((B, T, dp - 2 * D - 1), x.dtype)
-    xcat = jnp.concatenate([x, xr, ones, pad], axis=-1)
+    xcat = jnp.concatenate([x, jnp.ones((B, T, 1), x.dtype)], axis=-1)
     xcat = xcat.astype(jnp.bfloat16 if bf16 else jnp.float32)
-    wcat = _make_wcat(params_f, params_r, H, D, dp, hp)
+    wf = _make_wdir(params_f, 0, H, D, hp, with_bias_of=params_r)
+    wr = _make_wdir(params_r, 1, H, D, hp)
     wbd = _make_wbd(params_f, params_r, H, hp)
-    lens = jnp.full((B,), T, jnp.int32) if lengths is None else lengths
-    return xcat, wcat, wbd, lens, H, hp, dp
+    return xcat, wf, wr, wbd, _len_bc(lengths, B, T), H, hp
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
@@ -469,7 +528,7 @@ def bidi_lstm_pallas(params_f: dict, params_r: dict, x: jax.Array,
     x [B,T,D] -> [B,T,2H] (forward then backward features, padding zero).
 
     xz_bf16=True (production default) streams activations and runs the MXU
-    matmuls in bfloat16 with f32 accumulation (~1e-3 relative effect on
+    matmuls in bfloat16 with f32 accumulation (~1e-4 absolute effect on
     activations, well under CTC-alignment noise). False = strict-f32
     verification mode."""
     y, _ = _fwd_impl(params_f, params_r, x, lengths, t_chunk, interpret,
@@ -479,23 +538,31 @@ def bidi_lstm_pallas(params_f: dict, params_r: dict, x: jax.Array,
 
 def _fwd_impl(params_f, params_r, x, lengths, t_chunk, interpret, xz_bf16=True):
     B, T, D = x.shape
-    xcat, wcat, wbd, lens, H, hp, dp = _prep(params_f, params_r, x, lengths,
+    xcat, wf, wr, wbd, len_bc, H, hp = _prep(params_f, params_r, x, lengths,
                                              xz_bf16)
+    dc = D + 1
     nb = 2 if xz_bf16 else 4
     wdt = jnp.bfloat16 if xz_bf16 else jnp.float32
-    bt, tc = _pick_tiles(B, T, lambda b: _fwd_trow_bytes(b, dp, hp, nb),
+    bt, tc = _pick_tiles(B, T, lambda b: _fwd_trow_bytes(b, dc, hp, nb),
                          t_chunk)
     h_seq, hprev, cprev = _call_fwd(
-        xcat, wcat.astype(wdt), wbd.astype(wdt), b_tile=bt, t_chunk=tc,
-        interpret=interpret, compute_bf16=xz_bf16,
+        xcat, len_bc, wf.astype(wdt), wr.astype(wdt), wbd.astype(wdt),
+        b_tile=bt, t_chunk=tc, interpret=interpret, compute_bf16=xz_bf16,
         seq_dtype=jnp.bfloat16 if xz_bf16 else jnp.float32)
+    lens = jnp.full((B,), T, jnp.int32) if lengths is None else lengths
     mask = (jnp.arange(T)[None, :] < lens[:, None]).astype(jnp.float32)
-    hm = h_seq.astype(jnp.float32) * mask[:, :, None]
+    hm = h_seq.astype(jnp.float32)
+    # Forward lanes are masked in ORIGINAL time (their phantom suffix is
+    # garbage). Reverse-direction features come out in CHAIN order
+    # (original time T-1-s) with exact zeros in their phantom prefix from
+    # the in-kernel boundary reset — a global stride-reversal flip (not a
+    # gather) restores original time, zeros landing on the padding.
     y = jnp.concatenate(
-        [hm[..., :H], flip_within_length(hm[..., hp:hp + H], lengths)],
+        [hm[..., :H] * mask[:, :, None],
+         jnp.flip(hm, axis=1)[..., hp:hp + H]],
         axis=-1).astype(x.dtype)
-    res = (params_f, params_r, x, lengths, xcat, wcat, wbd, hprev, cprev,
-           H, hp, dp)
+    res = (params_f, params_r, x, lengths, xcat, wf, wr, wbd, len_bc,
+           hprev, cprev, H, hp)
     return y, res
 
 
@@ -505,42 +572,46 @@ def _vjp_fwd(params_f, params_r, x, lengths, t_chunk, interpret, xz_bf16):
 
 
 def _vjp_bwd(t_chunk, interpret, xz_bf16, res, gy):
-    (params_f, params_r, x, lengths, xcat, wcat, wbd, hprev, cprev,
-     H, hp, dp) = res
+    (params_f, params_r, x, lengths, xcat, wf, wr, wbd, len_bc,
+     hprev, cprev, H, hp) = res
     gh = 2 * hp
     B, T, D = x.shape
+    dc = D + 1
     gy = gy.astype(jnp.float32)
     lens = jnp.full((B,), T, jnp.int32) if lengths is None else lengths
     mask = (jnp.arange(T)[None, :] < lens[:, None]).astype(jnp.float32)
-    # Cotangents of the stored carries in the combined [B,T,2Hp] layout;
+    # Cotangents in the combined [B,T,2Hp] chain layout: forward lanes in
+    # original order, reverse lanes globally flipped to chain order; both
     # zero on padded frames so the kernel's no-masking invariant holds.
     gdt = jnp.bfloat16 if xz_bf16 else jnp.float32
+    gm = gy * mask[:, :, None]
     gseq = jnp.zeros((B, T, gh), jnp.float32)
-    gseq = gseq.at[..., :H].set(gy[..., :H])
-    gseq = gseq.at[..., hp:hp + H].set(
-        flip_within_length(gy[..., H:], lengths))
-    gseq = (gseq * mask[:, :, None]).astype(gdt)
+    gseq = gseq.at[..., :H].set(gm[..., :H])
+    gseq = gseq.at[..., hp:hp + H].set(jnp.flip(gm[..., H:], axis=1))
+    gseq = gseq.astype(gdt)
 
+    wxt = _make_wxt(params_f, params_r, H, D, hp)
     nb = 2 if xz_bf16 else 4
-    bt, tc = _pick_tiles(B, T, lambda b: _bwd_trow_bytes(b, dp, hp, nb),
+    bt, tc = _pick_tiles(B, T, lambda b: _bwd_trow_bytes(b, dc, hp, nb),
                          t_chunk)
-    dxcat, dwcat, dwh = _call_bwd(
-        xcat, hprev, cprev, gseq, wcat, wbd, b_tile=bt, t_chunk=tc,
-        interpret=interpret, compute_bf16=xz_bf16, dx_dtype=gdt)
+    dxcat, dwf, dwr, dwh = _call_bwd(
+        xcat, len_bc, hprev, cprev, gseq, wf, wr, wbd, wxt,
+        b_tile=bt, t_chunk=tc, interpret=interpret, compute_bf16=xz_bf16,
+        dx_dtype=gdt)
 
     # Gate-major -> reference-layout extraction on the small weight grads.
     grads = []
-    for g, p, lo in ((0, params_f, 0), (1, params_r, D)):
-        dWx = _gm_cols(dwcat[lo:lo + D], g, H, hp=hp)
+    for g, p, dwx in ((0, params_f, dwf), (1, params_r, dwr)):
+        dWx = _gm_cols(dwx[:D], g, H, hp=hp)
+        db = _gm_cols(dwx[D], g, H, hp=hp)
         dWh = _gm_cols(dwh[g * hp:g * hp + H], g, H, hp=hp)
-        db = _gm_cols(dwcat[2 * D], g, H, hp=hp)
         grads.append({"Wx": dWx.astype(p["Wx"].dtype),
                       "Wh": dWh.astype(p["Wh"].dtype),
                       "b": db.astype(p["b"].dtype)})
 
     dx = (dxcat[..., :D].astype(jnp.float32)
-          + flip_within_length(dxcat[..., D:2 * D].astype(jnp.float32),
-                               lengths)).astype(x.dtype)
+          + jnp.flip(dxcat[..., D:2 * D].astype(jnp.float32), axis=1)
+          ).astype(x.dtype)
     return grads[0], grads[1], dx, None
 
 
@@ -552,9 +623,9 @@ def fits_pallas(B: int, T: int, t_chunk: int = 8, H: int = 100) -> bool:
     shapes tile cleanly (B a multiple of 8 for sublane alignment; any such
     B works — batches tile over the grid)."""
     hp = _hp_for(H)
-    dp = 128  # minimum; larger D only grows streamed blocks linearly
-    bt, tc = _pick_tiles(B, T, lambda b: _bwd_trow_bytes(b, dp, hp, 2),
+    dc = 64  # typical D+1; streamed blocks grow only linearly in it
+    bt, tc = _pick_tiles(B, T, lambda b: _bwd_trow_bytes(b, dc, hp, 2),
                          t_chunk)
-    fixed = _fixed_bytes(dp, hp, bt, 2)
-    return (B % 8 == 0 and fixed < 8 * 1024 * 1024
-            and _bwd_trow_bytes(bt, dp, hp, 2) * tc <= _VMEM_BUDGET)
+    fixed = _fixed_bytes(dc, hp, bt, 2)
+    return (B % 8 == 0 and fixed < 16 * 1024 * 1024
+            and _bwd_trow_bytes(bt, dc, hp, 2) * tc <= _VMEM_BUDGET)

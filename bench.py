@@ -14,6 +14,17 @@ benchmarks/baseline_proxy.json; the reference itself publishes no numbers
 Extra env knobs: bench_batch=256 bench_T=1024 bench_steps=20 bench_bf16=0
 bench_net=bidi bench_nhidden=100 bench_nclasses=96 (set net=bidi2
 nhidden=200 nclasses=400 for the config-4 deep large-alphabet profile).
+
+bench_mode selects the metric (default "device"):
+  device  resident-batch device-step rate (kernel metric, the headline)
+  e2e     END-TO-END clstmocrtrain rate: the real CLI hot loop — host
+          batching (make_batches/pad_batch_rows), H2D transfer, jitted
+          step, periodic report decode — on a synthetic UW3-shaped
+          dataset (north-star metric; reference hot path
+          clstmocrtrain.cc ≈L100)
+  dp1     shard_map 1-device DP step vs the plain step: reports the DP
+          step's rate; vs_baseline is the plain-step rate ratio (mesh-path
+          overhead regression guard — target >0.95)
 """
 
 from __future__ import annotations
@@ -44,7 +55,144 @@ def get_baseline() -> float:
     return rate
 
 
+def bench_e2e() -> int:
+    """End-to-end clstmocrtrain throughput on a synthetic UW3-shaped
+    dataset: the EXACT CLI hot loop (clstm_tpu/cli/clstmocrtrain.py
+    main()), timed over steady-state epochs after a warmup epoch."""
+    import time
+
+    import numpy as np
+
+    from clstm_tpu.cli.clstmocrtrain import evaluate  # noqa: F401 (import check)
+    from clstm_tpu.data.dataset import OcrDataset, make_batches, pad_batch_rows
+    from clstm_tpu.data.lines import LineGenerator, make_dataset_dir
+    from clstm_tpu.models.hl import CLSTMOCR
+    from clstm_tpu.ops.ctc import decode_frames
+
+    B = int(os.environ.get("bench_batch", 256))
+    nlines = int(os.environ.get("bench_e2e_lines", 2048))
+    epochs = int(os.environ.get("bench_e2e_epochs", 3))
+    report_every = int(os.environ.get("report_every", 500))
+    work = os.environ.get("bench_e2e_dir", "/tmp/clstm_bench_e2e")
+
+    manifest = os.path.join(work, "train.files")
+    if not os.path.exists(manifest):
+        os.makedirs(work, exist_ok=True)
+        gen = LineGenerator(seed=0)
+        texts = [gen.random_sentence() for _ in range(nlines)]
+        m = make_dataset_dir(os.path.join(work, "train"), nlines, gen=gen,
+                             texts=texts)
+        with open(manifest, "w") as f:
+            f.write(open(m).read())
+
+    ds = OcrDataset(manifest, target_height=48, dewarp="center")
+    codec = ds.build_codec()
+    ocr = CLSTMOCR(target_height=48, dewarp="center")
+    ocr.createBidi(codec, 100, kind="bidi", seed=0)
+    ocr.setLearningRate(1e-4, 0.9)
+    samples = ds.load_all()
+
+    rng = np.random.RandomState(0)
+
+    def one_epoch(report: bool) -> int:
+        trials = 0
+        nxt = report_every
+        for batch in make_batches(samples, codec, B, rng=rng):
+            nreal = len(batch["texts"])
+            m = ocr.train_batch(pad_batch_rows(batch, B))
+            trials += nreal
+            if report and trials >= nxt:
+                nxt += report_every
+                # the CLI's report path: decode one row on host
+                L = batch["lengths"][0]
+                ids = np.asarray(m["frame_ids"])[0][:L]
+                vals = np.asarray(m["frame_vals"])[0][:L]
+                codec.decode(decode_frames(ids, vals))
+        float(m["loss"])  # sync
+        return trials
+
+    one_epoch(report=True)          # warmup epoch (compiles all buckets)
+    t0 = time.time()
+    total = 0
+    for _ in range(epochs):
+        total += one_epoch(report=True)
+    rate = total / (time.time() - t0)
+    print(json.dumps({
+        "metric": "uw3_clstmocrtrain_e2e_train_lines_per_sec_per_chip",
+        "value": round(rate, 2),
+        "unit": "lines/sec",
+        "vs_baseline": round(rate / get_baseline(), 2),
+    }))
+    return 0
+
+
+def bench_dp1() -> int:
+    """shard_map 1-device DP step vs the plain jitted step: regression
+    guard for mesh-path overhead (VERDICT round-1 item 10). vs_baseline is
+    the DP/plain rate ratio — keep it >0.95."""
+    import time
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from clstm_tpu.models.prefab import make_net_init
+    from clstm_tpu.ops.ctc import mktargets_ids
+    from clstm_tpu.parallel.dp import make_parallel_train_step
+    from clstm_tpu.train import TrainState, make_train_step
+
+    B = int(os.environ.get("bench_batch", 256))
+    T = int(os.environ.get("bench_T", 1024))
+    steps = int(os.environ.get("bench_steps", 20))
+    height, nchars, nclasses = 48, 40, 96
+
+    spec, params = make_net_init(
+        "bidi", {"ninput": height, "nhidden": 100, "noutput": nclasses},
+        jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    S = 2 * nchars + 1
+    tids = np.zeros((B, S), np.int32)
+    for b in range(B):
+        tids[b] = mktargets_ids(rng.randint(1, nclasses, size=nchars))
+    batch = {
+        "x": jnp.asarray(rng.rand(B, T, height).astype(np.float32)),
+        "lengths": jnp.full((B,), 900, jnp.int32),
+        "targets": jnp.asarray(tids),
+        "target_lengths": jnp.full((B,), S, jnp.int32),
+    }
+
+    def rate_of(step):
+        state = TrainState.create(params)
+        state, m = step(state, batch)
+        float(m["loss"])
+        t0 = time.time()
+        for _ in range(steps):
+            state, m = step(state, batch)
+        float(m["loss"])
+        return steps * B / (time.time() - t0)
+
+    plain = rate_of(make_train_step(spec, lr=1e-4, momentum=0.9,
+                                    loss_kind="ctc"))
+    mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+    dp = rate_of(make_parallel_train_step(spec, mesh, lr=1e-4, momentum=0.9,
+                                          loss_kind="ctc"))
+    print(json.dumps({
+        "metric": "dp_shardmap1_vs_plain_train_lines_per_sec",
+        "value": round(dp, 2),
+        "unit": "lines/sec",
+        "vs_baseline": round(dp / plain, 4),
+    }))
+    return 0
+
+
 def main() -> int:
+    mode = os.environ.get("bench_mode", "device")
+    if mode == "e2e":
+        return bench_e2e()
+    if mode == "dp1":
+        return bench_dp1()
+
     import numpy as np
     import jax
     import jax.numpy as jnp

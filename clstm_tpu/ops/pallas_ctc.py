@@ -77,8 +77,9 @@ def _kernel(lm_ref, out_ref, v_ref, *, skip: float, t_chunk: int):
     jax.lax.fori_loop(0, t_chunk, body, None)
 
 
-def _bwd_kernel(lm_ref, len_ref, tlen_ref, out_ref, v_ref, *, skip: float,
-                t_chunk: int):
+def _bwd_kernel(lm_ref, lr_ref, len_ref, tlen_ref, out_ref, lse_ref,
+                v_ref, m_ref, a_ref, *, skip: float, t_chunk: int,
+                fuse_both: bool):
     """Direct backward DP — computes rl[t,s] (the flipped-forward pass of
     ops/ctc.py) without materializing any flipped arrays.
 
@@ -89,6 +90,13 @@ def _bwd_kernel(lm_ref, len_ref, tlen_ref, out_ref, v_ref, *, skip: float,
     initial (t >= len) state u[s] = skip*(tlen-1-s). Frames t >= len carry
     through; states s >= tlen are NEG via lmatch. The grid walks T chunks
     in reverse via the index maps.
+
+    With fuse_both=True the kernel additionally streams in the FORWARD
+    pass's log-alphas ``lr`` and emits, in one pass, the posterior-path
+    lattice ``both[t,s] = lr[t,s] + rl[t,s]`` (NEG on invalid frames) plus
+    the per-(row, state) log-sum-exp of ``both`` over time (running
+    max/scaled-sum pair) — replacing three full XLA passes over [B,T,S]
+    (mask, global max, exp+colsum) in ctc_align_targets_batched.
     """
     tc = pl.program_id(1)
     S = v_ref.shape[1]
@@ -106,6 +114,9 @@ def _bwd_kernel(lm_ref, len_ref, tlen_ref, out_ref, v_ref, *, skip: float,
         # u_init[s] = skip * (tlen - 1 - s); NEG for s >= tlen.
         u0 = skip * (tlen - 1.0 - col)
         v_ref[:, :] = jnp.where(col < tlen, u0, NEG)
+        if fuse_both:
+            m_ref[:, :] = jnp.full_like(m_ref, NEG)
+            a_ref[:, :] = jnp.zeros_like(a_ref)
 
     nT = pl.num_programs(1)
 
@@ -124,20 +135,26 @@ def _bwd_kernel(lm_ref, len_ref, tlen_ref, out_ref, v_ref, *, skip: float,
         m = (lv > t).astype(jnp.float32)
         v_next = m * v_new + (1.0 - m) * v
         v_ref[:, :] = v_next
-        out_ref[:, r, :] = v_next
+        if fuse_both:
+            both = jnp.where(m > 0.0, lr_ref[:, r, :] + v_next, NEG)
+            out_ref[:, r, :] = both
+            mx = jnp.maximum(m_ref[:, :], both)
+            a_ref[:, :] = (a_ref[:, :] * jnp.exp(m_ref[:, :] - mx)
+                           + jnp.exp(both - mx))
+            m_ref[:, :] = mx
+        else:
+            out_ref[:, r, :] = v_next
         return _
 
     jax.lax.fori_loop(0, t_chunk, body, None)
+    if fuse_both:
+        # Running pair is complete only after the last chunk; earlier
+        # writes to the VMEM-resident block are harmlessly overwritten.
+        lse_ref[:, :] = m_ref[:, :] + jnp.log(jnp.maximum(a_ref[:, :], 1e-30))
 
 
-@functools.partial(jax.jit, static_argnames=("skip", "b_tile", "t_chunk",
-                                             "interpret"))
-def ctc_backward_pallas(lmatch: jax.Array, lengths: jax.Array,
-                        target_lengths: jax.Array, *,
-                        skip: float = -5.0, b_tile: int = 32,
-                        t_chunk: int = 128, interpret: bool = False) -> jax.Array:
-    """rl [B, T, S] — equals flip(forward(flip(lmatch))) from the scan
-    path, computed in place without flips."""
+def _bwd_call(lmatch, lr, lengths, target_lengths, *, skip, b_tile, t_chunk,
+              interpret, fuse_both):
     B, T, S = lmatch.shape
     assert S % 128 == 0, f"S must be lane-aligned, got {S}"
     b_tile = min(b_tile, B)
@@ -146,41 +163,77 @@ def ctc_backward_pallas(lmatch: jax.Array, lengths: jax.Array,
     t_chunk = min(t_chunk, T)
     while T % t_chunk:
         t_chunk //= 2
+    # 3 streamed blocks (lm, lr, both), double-buffered, under ~36MB
+    while b_tile > 8 and 6 * b_tile * t_chunk * S * 4 > 36 * 1024 * 1024:
+        b_tile //= 2
 
     len_bc = jnp.broadcast_to(lengths.astype(jnp.float32)[:, None], (B, 128))
     tlen_bc = jnp.broadcast_to(target_lengths.astype(jnp.float32)[:, None],
                                (B, 128))
     nT = T // t_chunk
     grid = (B // b_tile, nT)
-    return pl.pallas_call(
-        functools.partial(_bwd_kernel, skip=skip, t_chunk=t_chunk),
+    rev = lambda b, t: (b, nT - 1 - t, 0)
+    stream = pl.BlockSpec((b_tile, t_chunk, S), rev, memory_space=pltpu.VMEM)
+    small = pl.BlockSpec((b_tile, 128), lambda b, t: (b, 0),
+                         memory_space=pltpu.VMEM)
+    lse_spec = pl.BlockSpec((b_tile, S), lambda b, t: (b, 0),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_bwd_kernel, skip=skip, t_chunk=t_chunk,
+                          fuse_both=fuse_both),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((b_tile, t_chunk, S),
-                         lambda b, t: (b, nT - 1 - t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((b_tile, 128), lambda b, t: (b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((b_tile, 128), lambda b, t: (b, 0),
-                         memory_space=pltpu.VMEM),
+        in_specs=[stream, stream, small, small],
+        out_specs=[stream, lse_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, S), jnp.float32),
+            jax.ShapeDtypeStruct((B, S), jnp.float32),
         ],
-        out_specs=pl.BlockSpec((b_tile, t_chunk, S),
-                               lambda b, t: (b, nT - 1 - t, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, T, S), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((b_tile, S), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((b_tile, S), jnp.float32)] * 3,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=96 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(lmatch, len_bc, tlen_bc)
+    )(lmatch, lr, len_bc, tlen_bc)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("skip", "b_tile", "t_chunk",
+                                             "interpret"))
+def ctc_backward_pallas(lmatch: jax.Array, lengths: jax.Array,
+                        target_lengths: jax.Array, *,
+                        skip: float = -5.0, b_tile: int = 256,
+                        t_chunk: int = 32, interpret: bool = False) -> jax.Array:
+    """rl [B, T, S] — equals flip(forward(flip(lmatch))) from the scan
+    path, computed in place without flips."""
+    rl, _ = _bwd_call(lmatch, lmatch, lengths, target_lengths, skip=skip,
+                      b_tile=b_tile, t_chunk=t_chunk, interpret=interpret,
+                      fuse_both=False)
+    return rl
+
+
+@functools.partial(jax.jit, static_argnames=("skip", "b_tile", "t_chunk",
+                                             "interpret"))
+def ctc_both_pallas(lmatch: jax.Array, lr: jax.Array, lengths: jax.Array,
+                    target_lengths: jax.Array, *,
+                    skip: float = -5.0, b_tile: int = 256,
+                    t_chunk: int = 32,
+                    interpret: bool = False) -> tuple[jax.Array, jax.Array]:
+    """Fused second DP direction: one pass produces
+    ``both[t,s] = lr[t,s] + rl[t,s]`` (NEG on invalid frames; invalid
+    states are << NEG via lmatch) and ``lse[b,s] = logsumexp_t both`` —
+    so the caller's epath normalization is a single fused
+    ``exp(both - lse)`` with no [B,T,S] reduction passes."""
+    return _bwd_call(lmatch, lr, lengths, target_lengths, skip=skip,
+                     b_tile=b_tile, t_chunk=t_chunk, interpret=interpret,
+                     fuse_both=True)
 
 
 @functools.partial(jax.jit, static_argnames=("skip", "b_tile", "t_chunk",
                                              "interpret"))
 def ctc_forward_pallas(lmatch: jax.Array, lengths: jax.Array, *,
-                       skip: float = -5.0, b_tile: int = 32,
-                       t_chunk: int = 128, interpret: bool = False) -> jax.Array:
+                       skip: float = -5.0, b_tile: int = 256,
+                       t_chunk: int = 32, interpret: bool = False) -> jax.Array:
     """Batched log-space alignment DP on TPU.
 
     lmatch: [B, T, S] (S a multiple of 128, invalid states NEG).
@@ -197,6 +250,8 @@ def ctc_forward_pallas(lmatch: jax.Array, lengths: jax.Array, *,
     while T % t_chunk:
         t_chunk //= 2
 
+    while b_tile > 8 and 4 * b_tile * t_chunk * S * 4 > 36 * 1024 * 1024:
+        b_tile //= 2
     grid = (B // b_tile, T // t_chunk)
     return pl.pallas_call(
         functools.partial(_kernel, skip=skip, t_chunk=t_chunk),
@@ -213,6 +268,7 @@ def ctc_forward_pallas(lmatch: jax.Array, lengths: jax.Array, *,
         scratch_shapes=[pltpu.VMEM((b_tile, S), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=96 * 1024 * 1024,
         ),
         interpret=interpret,
     )(lmatch)

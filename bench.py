@@ -163,8 +163,13 @@ def bench_dp1() -> int:
     }
 
     def rate_of(step):
-        state = TrainState.create(params)
-        state, m = step(state, batch)
+        # fresh param copies: both steps donate their state buffers.
+        # TWO warmup steps: the second runs with the fed-back (committed)
+        # state, so any sharding-signature retrace lands here, not in the
+        # timed loop.
+        state = TrainState.create(jax.tree.map(jnp.copy, params))
+        for _ in range(2):
+            state, m = step(state, batch)
         float(m["loss"])
         t0 = time.time()
         for _ in range(steps):

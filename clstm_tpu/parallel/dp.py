@@ -83,7 +83,18 @@ def make_parallel_train_step(spec: NetSpec, mesh: Mesh,
         check_vma=False,
     )
 
-    jitted = jax.jit(sharded, donate_argnums=(0,) if donate else ())
+    # Declare input shardings (pytree prefixes) so the FIRST trace already
+    # has the steady-state signature. Without this, call 1 sees uncommitted
+    # arrays, the returned state comes back committed as NamedSharding(P()),
+    # and feeding it into call 2 changes the sharding signature -> a full
+    # silent retrace (~15s on the tunneled backend) in the middle of the
+    # training loop (measured as a phantom 80x "mesh overhead" in the round-2
+    # dp1 bench before root-causing).
+    from jax.sharding import NamedSharding
+    repl = NamedSharding(mesh, P())
+    batch_sh = {k: NamedSharding(mesh, s) for k, s in batch_specs.items()}
+    jitted = jax.jit(sharded, donate_argnums=(0,) if donate else (),
+                     in_shardings=(repl, batch_sh, repl, repl))
 
     def wrapped(state, batch, lr_arg=None, momentum_arg=None):
         return jitted(state, batch,

@@ -65,6 +65,7 @@ def bench_e2e() -> int:
 
     from clstm_tpu.cli.clstmocrtrain import evaluate  # noqa: F401 (import check)
     from clstm_tpu.data.dataset import OcrDataset, make_batches, pad_batch_rows
+    from clstm_tpu.data.device_cache import DeviceDataset
     from clstm_tpu.data.lines import LineGenerator, make_dataset_dir
     from clstm_tpu.models.hl import CLSTMOCR
     from clstm_tpu.ops.ctc import decode_frames
@@ -93,20 +94,33 @@ def bench_e2e() -> int:
     samples = ds.load_all()
 
     rng = np.random.RandomState(0)
+    stream = os.environ.get("bench_e2e_stream", "0") not in ("0", "")
+    dcache = None if stream else DeviceDataset(samples, codec)
 
     def one_epoch(report: bool) -> int:
+        """The clstmocrtrain hot loop: device-cache epoch by default (the
+        CLI's cache=auto path — streaming over the tunneled link is H2D
+        bound at 31 MB/s, measured 170 lines/s vs 15.2k resident);
+        bench_e2e_stream=1 forces the host-streaming path."""
         trials = 0
         nxt = report_every
-        for batch in make_batches(samples, codec, B, rng=rng):
+        batches = (make_batches(samples, codec, B, rng=rng) if stream
+                   else dcache.epoch(B, rng=rng))
+        for batch in batches:
             nreal = len(batch["texts"])
-            m = ocr.train_batch(pad_batch_rows(batch, B))
+            if stream:
+                m = ocr.train_batch(pad_batch_rows(batch, B))
+            else:
+                m = ocr.train_batch({k: batch[k] for k in (
+                    "x", "lengths", "targets", "target_lengths")})
             trials += nreal
             if report and trials >= nxt:
                 nxt += report_every
                 # the CLI's report path: decode one row on host
-                L = batch["lengths"][0]
-                ids = np.asarray(m["frame_ids"])[0][:L]
-                vals = np.asarray(m["frame_vals"])[0][:L]
+                L = int(np.asarray(
+                    batch.get("host_lengths", batch["lengths"]))[0])
+                ids = np.asarray(m["report_ids"])[:L]
+                vals = np.asarray(m["report_vals"])[:L]
                 codec.decode(decode_frames(ids, vals))
         float(m["loss"])  # sync
         return trials

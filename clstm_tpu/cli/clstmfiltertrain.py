@@ -65,8 +65,9 @@ def train_batched(model: CLSTMText, train_pairs, test_pairs, *, ntrain,
             if trials >= next_report:
                 next_report += report_every
                 L = batch["lengths"][0]
-                ids = np.asarray(m["frame_ids"])[0][:L]
-                vals = np.asarray(m["frame_vals"])[0][:L]
+                # row 0 pre-sliced inside the jitted step (cheap transfer)
+                ids = np.asarray(m["report_ids"])[:L]
+                vals = np.asarray(m["report_vals"])[:L]
                 pred = model.codec.decode(decode_frames(ids, vals))
                 rate = trials / (time.time() - t0)
                 print(f"{trials} {float(m['loss']):.4f} ({rate:.1f} pairs/s)")

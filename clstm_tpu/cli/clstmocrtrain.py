@@ -19,6 +19,13 @@ TPU-native additions (no reference equivalent):
   batch_size=32      lines per device batch (the throughput lever)
   net=bidi           prefab kind (bidi/bidi2/lstm1/...)
   log_jsonl=         path for structured JSONL metrics
+  cache=auto         device|host|auto — device keeps the prepared corpus
+                     resident in HBM and gathers batches on device (the
+                     host->device link is otherwise the pipeline
+                     bottleneck: measured 31 MB/s over the tunneled v5e
+                     = 170 lines/s streaming vs 15.2k device rate);
+                     auto = device when the padded corpus fits
+                     cache_limit_mb (default 4096)
 """
 
 from __future__ import annotations
@@ -36,18 +43,27 @@ from clstm_tpu.utils.config import getdenv, getienv, getsenv
 from clstm_tpu.utils.metrics import levenshtein
 
 
-def evaluate(ocr: CLSTMOCR, samples, codec, batch_size: int) -> float:
-    """Batched test-set CER (reference test loop, clstmocrtrain.cc ≈L180)."""
+def evaluate(ocr: CLSTMOCR, data, codec, batch_size: int) -> float:
+    """Batched test-set CER (reference test loop, clstmocrtrain.cc ≈L180).
+
+    ``data`` is either a prepared-sample list (streamed with host-side
+    batching) or a data.device_cache.DeviceDataset (batches gathered on
+    device)."""
+    from clstm_tpu.data.device_cache import DeviceDataset
     total_err = 0
     total_chars = 0
-    for batch in make_batches(samples, codec, batch_size):
-        nreal = len(batch["texts"])
+    if isinstance(data, DeviceDataset):
+        batches = data.epoch(batch_size)
+    else:
         # Pad remainder batches to full rows: keeps the jitted predict step
         # at one compilation per (T, S) bucket instead of one per row count.
-        batch = pad_batch_rows(batch, batch_size)
+        batches = (pad_batch_rows(b, batch_size)
+                   for b in make_batches(data, codec, batch_size))
+    for batch in batches:
+        host_lengths = np.asarray(batch.get("host_lengths", batch["lengths"]))
         ids, vals = ocr.predict_batch(batch["x"], batch["lengths"])
-        for b, text in enumerate(batch["texts"][:nreal]):
-            L = batch["lengths"][b]
+        for b, text in enumerate(batch["texts"]):
+            L = host_lengths[b]
             pred = ocr.codec.decode(decode_frames(ids[b][:L], vals[b][:L]))
             total_err += levenshtein(text, pred)
             total_chars += len(text)
@@ -104,6 +120,24 @@ def main(argv=None) -> int:
     samples = train_ds.load_all()
     test_samples = test_ds.load_all() if test_ds else None
 
+    # Device-resident corpus cache (see module docstring of
+    # data/device_cache.py): upload once, gather batches on device.
+    from clstm_tpu.data.dataset import T_BUCKETS, bucket_for
+    from clstm_tpu.data.device_cache import DeviceDataset
+    cache_mode = getsenv("cache", "auto")
+    cache_limit = getienv("cache_limit_mb", 4096)
+    est_mb = sum(bucket_for(x.shape[0], T_BUCKETS) * x.shape[1] * 4
+                 for x, _ in samples) / 1e6
+    use_cache = cache_mode == "device" or (cache_mode == "auto"
+                                           and est_mb <= cache_limit)
+    dcache = test_cache = None
+    if use_cache:
+        dcache = DeviceDataset(samples, codec)
+        test_cache = (DeviceDataset(test_samples, codec)
+                      if test_samples else None)
+        print(f"# device cache: {dcache.nbytes / 1e6:.0f} MB resident",
+              flush=True)
+
     rng = np.random.RandomState(randseed)
     jsonl = open(log_jsonl, "a") if log_jsonl else None
     display = None
@@ -118,16 +152,26 @@ def main(argv=None) -> int:
     next_test = test_every
     t0 = time.time()
     while trials < ntrain:
-        for batch in make_batches(samples, codec, batch_size, rng=rng):
+        batches = (dcache.epoch(batch_size, rng=rng) if use_cache
+                   else make_batches(samples, codec, batch_size, rng=rng))
+        for batch in batches:
             nreal = len(batch["texts"])
-            m = ocr.train_batch(pad_batch_rows(batch, batch_size))
+            if use_cache:
+                m = ocr.train_batch({k: batch[k] for k in (
+                    "x", "lengths", "targets", "target_lengths")})
+            else:
+                m = ocr.train_batch(pad_batch_rows(batch, batch_size))
             trials += nreal
             if trials >= next_report:
                 next_report += report_every
                 b = 0
-                L = batch["lengths"][b]
-                ids = np.asarray(m["frame_ids"])[b][:L]
-                vals = np.asarray(m["frame_vals"])[b][:L]
+                L = int(np.asarray(
+                    batch.get("host_lengths", batch["lengths"]))[b])
+                # report_ids/vals are row 0 pre-sliced inside the jitted
+                # step (full [B, T] transfers cost ~65ms on the tunneled
+                # link; eager slicing costs a per-op dispatch).
+                ids = np.asarray(m["report_ids"])[:L]
+                vals = np.asarray(m["report_vals"])[:L]
                 pred = codec.decode(decode_frames(ids, vals))
                 rate = trials / (time.time() - t0)
                 print(f"{trials} {float(m['loss']):.4f} ({rate:.1f} lines/s)")
@@ -147,7 +191,8 @@ def main(argv=None) -> int:
                     display.add_loss(trials, float(m["loss"]))
             if test_samples and trials >= next_test:
                 next_test += test_every
-                err = evaluate(ocr, test_samples, codec, batch_size)
+                err = evaluate(ocr, test_cache if test_cache is not None
+                               else test_samples, codec, batch_size)
                 print(f"TESTERR {trials} {err:.4f}", flush=True)
                 if jsonl:
                     jsonl.write(json.dumps({"trial": trials, "test_cer": err}) + "\n")

@@ -1,0 +1,132 @@
+"""Device-resident dataset cache: upload the corpus once, gather batches
+on device every epoch.
+
+The reference trains one line at a time from host memory
+(clstmocrtrain.cc ≈L100, SURVEY.md §3.1) — on TPU that pattern makes the
+host->device link the bottleneck: at the UW3 bench shape one epoch moves
+~200KB/line (~400MB for 2k lines) while the compute for the same epoch is
+milliseconds. Round-2 measurement on the tunneled v5e: 31 MB/s H2D, so
+the streaming CLI loop ran at 170 lines/s against a 15.2k lines/s device
+step — 1.1% pipeline efficiency.
+
+TPU-native answer: OCR corpora are small (UW3-500 is 500 lines; even
+100k prepared lines ≈ 20GB > HBM, but typical sets fit easily), so stack
+each (T_bucket, S_bucket) group into one resident device array set and
+build every epoch's batches with an on-device gather over a permuted
+index vector. Per batch the host then ships ONLY the [B] index vector
+(~1KB). Epoch semantics (bucketed static shapes, right-padding, zero-row
+padding of remainder batches) are identical to data/dataset.py
+make_batches + pad_batch_rows — equivalence is tested in
+tests/test_device_cache.py.
+
+Each group carries one extra all-zero sentinel row (length 0, empty
+targets); remainder batches pad with the sentinel index, and zero-length
+rows are already masked out of loss, gradients and decode everywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from clstm_tpu.data.dataset import S_BUCKETS, T_BUCKETS, bucket_for
+from clstm_tpu.models.codec import Codec
+from clstm_tpu.ops.ctc import mktargets_ids
+
+
+@jax.jit
+def _gather(x, targets, lengths, tlens, idx):
+    return x[idx], targets[idx], lengths[idx], tlens[idx]
+
+
+class DeviceDataset:
+    """Bucket-grouped, device-resident prepared samples.
+
+    samples: list of (x [T, H] float32, text) as produced by
+    OcrDataset.load_all / prepare_line. Grouping and padding match
+    make_batches exactly (same buckets, same truncation rules).
+    """
+
+    def __init__(self, samples: Sequence[Tuple[np.ndarray, str]],
+                 codec: Codec,
+                 t_buckets: Sequence[int] = T_BUCKETS,
+                 s_buckets: Sequence[int] = S_BUCKETS,
+                 device=None):
+        groups: dict = {}
+        for x, text in samples:
+            classes = codec.encode(text)
+            tb = bucket_for(x.shape[0], t_buckets)
+            sb = bucket_for(2 * len(classes) + 1, s_buckets)
+            groups.setdefault((tb, sb), []).append((x, text, classes))
+
+        self.groups = []
+        self.nbytes = 0
+        for (tb, sb), items in sorted(groups.items()):
+            N = len(items)
+            H = items[0][0].shape[1]
+            x = np.zeros((N + 1, tb, H), np.float32)     # +1 zero sentinel
+            lengths = np.zeros(N + 1, np.int32)
+            targets = np.zeros((N + 1, sb), np.int32)
+            tlens = np.zeros(N + 1, np.int32)
+            texts: List[str] = []
+            for i, (xi, text, classes) in enumerate(items):
+                T = min(xi.shape[0], tb)
+                x[i, :T] = xi[:T]
+                lengths[i] = T
+                ids = mktargets_ids(classes)
+                S = min(len(ids), sb)
+                targets[i, :S] = ids[:S]
+                tlens[i] = S
+                texts.append(text)
+            self.nbytes += x.nbytes + targets.nbytes
+            put = (lambda a: jax.device_put(a, device)) if device is not None \
+                else jax.device_put
+            self.groups.append({
+                "tb": tb, "sb": sb, "n": N, "texts": texts,
+                "x": put(x), "targets": put(targets),
+                "lengths": put(lengths), "tlens": put(tlens),
+                "host_lengths": lengths,
+            })
+
+    def __len__(self) -> int:
+        return sum(g["n"] for g in self.groups)
+
+    def epoch(self, batch_size: int,
+              rng: Optional[np.random.RandomState] = None,
+              drop_remainder: bool = False) -> Iterator[dict]:
+        """Yield device batches covering every sample once.
+
+        Each batch dict has device arrays x/lengths/targets/target_lengths
+        (shapes [B, Tb, H]/[B]/[B, Sb]/[B]) plus host-side "texts" (real
+        rows only) and "host_lengths" [B] for reporting/decode. Rows beyond
+        len(texts) are zero-length sentinel padding.
+        """
+        plan = []  # (group, host index array)
+        for g in self.groups:
+            order = np.arange(g["n"])
+            if rng is not None:
+                rng.shuffle(order)
+            for lo in range(0, g["n"], batch_size):
+                chunk = order[lo:lo + batch_size]
+                if len(chunk) < batch_size:
+                    if drop_remainder:
+                        continue
+                    pad = np.full(batch_size - len(chunk), g["n"], np.int64)
+                    chunk = np.concatenate([chunk, pad])
+                plan.append((g, chunk))
+        if rng is not None:
+            rng.shuffle(plan)
+        for g, chunk in plan:
+            idx = jnp.asarray(chunk.astype(np.int32))
+            x, targets, lengths, tlens = _gather(
+                g["x"], g["targets"], g["lengths"], g["tlens"], idx)
+            nreal = int(np.sum(chunk < g["n"]))
+            yield {
+                "x": x, "lengths": lengths, "targets": targets,
+                "target_lengths": tlens,
+                "texts": [g["texts"][i] for i in chunk[:nreal]],
+                "host_lengths": g["host_lengths"][chunk],
+            }

@@ -189,8 +189,8 @@ class CLSTMOCR(_TrainableBase):
         classes = self.codec.encode(gt)
         batch = self._one_line_batch(x, classes)
         metrics = self.train_batch(batch)
-        ids = np.asarray(metrics["frame_ids"])[0][: x.shape[0]]
-        vals = np.asarray(metrics["frame_vals"])[0][: x.shape[0]]
+        ids = np.asarray(metrics["report_ids"])[: x.shape[0]]
+        vals = np.asarray(metrics["report_vals"])[: x.shape[0]]
         return self.codec.decode(decode_frames(ids, vals))
 
     def predict_utf8(self, image: np.ndarray) -> str:
@@ -310,8 +310,8 @@ class CLSTMText(_TrainableBase):
         x = self.encode_input(inp)
         batch = self._one_batch(x, self.codec.encode(out))
         metrics = self.train_batch(batch)
-        ids = np.asarray(metrics["frame_ids"])[0][: x.shape[0]]
-        vals = np.asarray(metrics["frame_vals"])[0][: x.shape[0]]
+        ids = np.asarray(metrics["report_ids"])[: x.shape[0]]
+        vals = np.asarray(metrics["report_vals"])[: x.shape[0]]
         return self.codec.decode(decode_frames(ids, vals))
 
     def predict(self, inp: str) -> str:

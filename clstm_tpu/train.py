@@ -167,7 +167,13 @@ def make_train_step(spec: NetSpec, lr: float = 1e-4, momentum: float = 0.9, *,
         params, velocity = sgd_update(state.params, state.velocity, grads,
                                       lr_t, momentum_t)
         ids, vals = greedy_frames(probs)
-        metrics = {"loss": loss, "frame_ids": ids, "frame_vals": vals}
+        # report_ids/vals: row 0 only, sliced INSIDE the jit — the CLI
+        # report path decodes one line; transferring the full [B, T]
+        # arrays costs ~65ms over the tunneled link and an eager on-device
+        # slice costs a pathological per-op dispatch (round-2 measurement:
+        # e2e 4073 -> 2203 lines/s with eager slicing).
+        metrics = {"loss": loss, "frame_ids": ids, "frame_vals": vals,
+                   "report_ids": ids[0], "report_vals": vals[0]}
         new_state = TrainState(params=params, velocity=velocity,
                                step=state.step + 1)
         return new_state, metrics

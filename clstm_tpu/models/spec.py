@@ -216,6 +216,13 @@ def _affine_init(spec: NetSpec, key: jax.Array) -> dict:
 
 def _affine(params: dict, x: jax.Array, ctx: ApplyCtx) -> jax.Array:
     cd = ctx.compute_dtype or x.dtype
+    if (ctx.compute_dtype is None and cd == jnp.float32
+            and jax.default_backend() == "tpu"):
+        # MXU policy on TPU: bf16 operands, f32 accumulation — the same
+        # production precision the Pallas LSTM streams use (xz_bf16).
+        # At the config-4 shape ([B*T, 401] x [401, 400]) the f32 matmul
+        # runs at 1/4 MXU rate for ~4ms/step of pure dtype overhead.
+        cd = jnp.bfloat16
     y = jax.lax.dot_general(
         x.astype(cd), params["W"].astype(cd),
         dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),

@@ -153,9 +153,18 @@ def _make_wxt(params_f: dict, params_r: dict, H: int, D: int, hp: int = HP):
 # ---------------------------------------------------------------------------
 
 def _gates(z, c_prev, gh: int):
-    gi = jax.nn.sigmoid(z[:, 0 * gh:1 * gh])
-    gf = jax.nn.sigmoid(z[:, 1 * gh:2 * gh])
-    go = jax.nn.sigmoid(z[:, 2 * gh:3 * gh])
+    if z.dtype == jnp.bfloat16:
+        # Mosaic cannot lower `logistic` on bf16 vectors (its internal
+        # f32 constant broadcast trips 'vector.broadcast' verification);
+        # the tanh form is mathematically identical and weak-typed
+        # constants stay bf16.
+        def sig(v):
+            return 0.5 * (jnp.tanh(v * 0.5) + 1.0)
+    else:
+        sig = jax.nn.sigmoid
+    gi = sig(z[:, 0 * gh:1 * gh])
+    gf = sig(z[:, 1 * gh:2 * gh])
+    go = sig(z[:, 2 * gh:3 * gh])
     ci = jnp.tanh(z[:, 3 * gh:4 * gh])
     c_new = gf * c_prev + gi * ci
     return gi, gf, go, ci, c_new
@@ -177,6 +186,32 @@ def _fill_xz(xz_ref, xf_ref, xr_ref, wf, wr, t_chunk, cd):
         ).astype(xz_ref.dtype)
 
 
+def _fill_xz_hoisted(xz_ref, xzf_ref, xzr_ref, xzf_s, xzr_s, t_chunk, hp):
+    """Stage HOISTED per-direction projection streams (compact [bt, tc,
+    4hp], computed by one big XLA matmul — see _proj_stream) into the
+    gate-major [tc, bt, 8hp] scratch. Used when the input dim is large
+    (dc > hp): at D=400/H=200 the in-kernel per-step projection costs
+    ~7ms per kernel pass while the hoisted big matmul runs near MXU peak.
+
+    Streams are first bulk-transposed into TIME-LEADING scratch: indexing
+    the streamed block's sublane (time) dim gives vectors with non-zero
+    sublane offsets, and Mosaic's concatenate requires matching offsets on
+    non-concat dims ("result/input offset mismatch" — hit on hardware).
+    After staging, the per-step interleave is 8 lane-aligned hp-wide
+    slices (vreg selects, no shuffles); xzr arrives through the
+    time-reversed block map, in-block rows reverse here — identical view
+    mechanics to _fill_xz."""
+    xzf_s[...] = jnp.transpose(xzf_ref[...], (1, 0, 2))
+    xzr_s[...] = jnp.transpose(xzr_ref[...], (1, 0, 2))
+    for k in range(t_chunk):
+        f = xzf_s[k]
+        r = xzr_s[t_chunk - 1 - k]
+        xz_ref[k] = jnp.concatenate(
+            [jnp.concatenate([f[:, g * hp:(g + 1) * hp],
+                              r[:, g * hp:(g + 1) * hp]], axis=1)
+             for g in range(4)], axis=1).astype(xz_ref.dtype)
+
+
 def _rev_mask(len_gh, lane_ge_hp, s_f, T):
     """[bt, gh] per-step mask: 1 on forward lanes; on reverse lanes 1 iff
     chain step s has entered the row's valid region (s >= T - len, i.e.
@@ -187,10 +222,8 @@ def _rev_mask(len_gh, lane_ge_hp, s_f, T):
     return jnp.maximum(active, 1.0 - lane_ge_hp)
 
 
-def _fwd_kernel(xf_ref, xr_ref, len_ref, wf_ref, wr_ref, wbd_ref,
-                hseq_ref, hprev_ref, cprev_ref,
-                h_ref, c_ref, xz_ref, hn_s, hs_s, cs_s, *, t_chunk: int,
-                gh: int, T: int, compute_bf16: bool):
+def _fwd_kernel(*refs, t_chunk: int, gh: int, T: int, compute_bf16: bool,
+                proj_in: bool = False):
     """Forward recurrence over one (b_tile, t_chunk) block.
 
     Emits h_seq (post-step, for the layer output) and hprev/cprev (pre-step
@@ -199,7 +232,19 @@ def _fwd_kernel(xf_ref, xr_ref, len_ref, wf_ref, wr_ref, wbd_ref,
     (data/dataset bucketing invariant), phantom forward state never feeds
     a valid frame, the caller masks the layer output, and backward
     cotangents are zero through phantom frames. Reverse lanes are masked
-    by _rev_mask (their boundary reset IS the flip semantics)."""
+    by _rev_mask (their boundary reset IS the flip semantics).
+
+    proj_in=True: the input projection was hoisted to one big XLA matmul
+    (large-D layers, see _fill_xz_hoisted) — the first two refs are the
+    compact per-direction xz streams and there are no wf/wr operands."""
+    if proj_in:
+        (xf_ref, xr_ref, len_ref, wbd_ref,
+         hseq_ref, hprev_ref, cprev_ref,
+         h_ref, c_ref, xz_ref, hn_s, hs_s, cs_s, xzf_s, xzr_s) = refs
+    else:
+        (xf_ref, xr_ref, len_ref, wf_ref, wr_ref, wbd_ref,
+         hseq_ref, hprev_ref, cprev_ref,
+         h_ref, c_ref, xz_ref, hn_s, hs_s, cs_s) = refs
     tc_id = pl.program_id(1)
     cd = jnp.bfloat16 if compute_bf16 else jnp.float32
 
@@ -209,8 +254,12 @@ def _fwd_kernel(xf_ref, xr_ref, len_ref, wf_ref, wr_ref, wbd_ref,
         c_ref[...] = jnp.zeros_like(c_ref)
 
     wbd = wbd_ref[...].astype(cd)
-    _fill_xz(xz_ref, xf_ref, xr_ref, wf_ref[...].astype(cd),
-             wr_ref[...].astype(cd), t_chunk, cd)
+    if proj_in:
+        _fill_xz_hoisted(xz_ref, xf_ref, xr_ref, xzf_s, xzr_s, t_chunk,
+                         gh // 2)
+    else:
+        _fill_xz(xz_ref, xf_ref, xr_ref, wf_ref[...].astype(cd),
+                 wr_ref[...].astype(cd), t_chunk, cd)
     hp = gh // 2
     len_gh = jnp.concatenate([len_ref[...]] * (gh // 128), axis=1)
     lane_ge_hp = (jax.lax.broadcasted_iota(
@@ -238,11 +287,8 @@ def _fwd_kernel(xf_ref, xr_ref, len_ref, wf_ref, wr_ref, wbd_ref,
     cprev_ref[...] = jnp.transpose(cs_s[...], (1, 0, 2))
 
 
-def _bwd_kernel(xf_ref, xr_ref, len_ref, hprev_ref, cprev_ref, g_ref,
-                wf_ref, wr_ref, wbd_ref, wbdt_ref, wxt_ref,
-                dx_ref, dwf_ref, dwr_ref, dwh_ref,
-                Dh_ref, Dc_ref, dz_ref, xz_ref, hp_s, cp_s, g_s, dx_s,
-                *, t_chunk: int, gh: int, T: int, compute_bf16: bool):
+def _bwd_kernel(*refs, t_chunk: int, gh: int, T: int, compute_bf16: bool,
+                proj_in: bool = False):
     """Reverse-grid backward step over one (b_tile, t_chunk) block.
 
     Recomputes gates and c_new from (xcat views, hprev, cprev); carries
@@ -251,7 +297,22 @@ def _bwd_kernel(xf_ref, xr_ref, len_ref, hprev_ref, cprev_ref, g_ref,
     dWf/dWr/dWh accumulate across the WHOLE grid in VMEM-resident output
     blocks (constant index maps). The _rev_mask multiply is the exact VJP
     of the forward boundary reset; through every phantom frame dz = 0, so
-    phantom frames contribute nothing to any gradient."""
+    phantom frames contribute nothing to any gradient.
+
+    proj_in=True: xz comes from hoisted streams (refs 3-4); the xcat views
+    are still streamed for the dWf/dWr contractions, and wf/wr drop out."""
+    if proj_in:
+        (xf_ref, xr_ref, xzf_ref, xzr_ref, len_ref,
+         hprev_ref, cprev_ref, g_ref,
+         wbd_ref, wbdt_ref, wxt_ref,
+         dx_ref, dwf_ref, dwr_ref, dwh_ref,
+         Dh_ref, Dc_ref, dz_ref, xz_ref, hp_s, cp_s, g_s, dx_s,
+         xzf_s, xzr_s) = refs
+    else:
+        (xf_ref, xr_ref, len_ref, hprev_ref, cprev_ref, g_ref,
+         wf_ref, wr_ref, wbd_ref, wbdt_ref, wxt_ref,
+         dx_ref, dwf_ref, dwr_ref, dwh_ref,
+         Dh_ref, Dc_ref, dz_ref, xz_ref, hp_s, cp_s, g_s, dx_s) = refs
     b_id, tc_id = pl.program_id(0), pl.program_id(1)
     nT = pl.num_programs(1)
     cd = jnp.bfloat16 if compute_bf16 else jnp.float32
@@ -269,8 +330,12 @@ def _bwd_kernel(xf_ref, xr_ref, len_ref, hprev_ref, cprev_ref, g_ref,
 
     wbd = wbd_ref[...].astype(cd)
     wbdt = wbdt_ref[...].astype(cd)
-    _fill_xz(xz_ref, xf_ref, xr_ref, wf_ref[...].astype(cd),
-             wr_ref[...].astype(cd), t_chunk, cd)
+    if proj_in:
+        _fill_xz_hoisted(xz_ref, xzf_ref, xzr_ref, xzf_s, xzr_s, t_chunk,
+                         gh // 2)
+    else:
+        _fill_xz(xz_ref, xf_ref, xr_ref, wf_ref[...].astype(cd),
+                 wr_ref[...].astype(cd), t_chunk, cd)
     # Stage streamed inputs time-leading: one bulk transpose per chunk
     # instead of a per-step in-chain relayout.
     hp_s[...] = jnp.transpose(hprev_ref[...], (1, 0, 2))
@@ -282,6 +347,10 @@ def _bwd_kernel(xf_ref, xr_ref, len_ref, hprev_ref, cprev_ref, g_ref,
         jnp.int32, len_gh.shape, 1) >= hp).astype(jnp.float32)
     chunk0 = (nT - 1 - tc_id) * t_chunk   # first chain step of this block
 
+    # NOTE (round-2 measurement): running this VJP elementwise chain in
+    # bf16 gave NO speedup on v5e (91.0ms vs 89.2ms bidi2 step) — the VPU
+    # runs bf16 elementwise at f32 rate here — while adding ~1e-2 gradient
+    # noise, so the chain stays f32.
     Dh, Dc = Dh_ref[...], Dc_ref[...]
     for r in range(t_chunk - 1, -1, -1):
         h_prev = hp_s[r].astype(jnp.float32)
@@ -362,23 +431,48 @@ def _pick_tiles(B: int, T: int, trow_fn, target_tc: int) -> tuple[int, int]:
     return bt, tc
 
 
-def _fwd_trow_bytes(bt: int, dc: int, hp: int, nb: int) -> int:
+def _fwd_trow_bytes(bt: int, dc: int, hp: int, nb: int,
+                    hoisted: bool = False) -> int:
     gh = 2 * hp
-    xcat = 2 * 2 * bt * dc * nb             # two double-buffered views
+    sdim = 4 * hp if hoisted else dc        # hoisted xz streams vs xcat
+    xcat = 2 * 2 * bt * sdim * nb           # two double-buffered views
     outs = 2 * 3 * bt * gh * nb             # h_seq/hprev/cprev blocks
     xz_scratch = bt * 4 * gh * 4            # f32 chunk projection
     staging = 3 * bt * gh * nb              # time-leading output staging
+    if hoisted:
+        staging += 2 * bt * 4 * hp * nb     # stream time-leading staging
     return xcat + outs + xz_scratch + staging
 
 
-def _bwd_trow_bytes(bt: int, dc: int, hp: int, nb: int) -> int:
+def _bwd_trow_bytes(bt: int, dc: int, hp: int, nb: int,
+                    hoisted: bool = False) -> int:
     gh = 2 * hp
     ins = 2 * bt * (2 * dc + 3 * gh) * nb   # x views + hprev/cprev/g
+    if hoisted:
+        ins += 2 * 2 * bt * 4 * hp * nb     # + the two xz streams
+        ins += 2 * bt * 4 * hp * nb         # + their time-leading staging
     dx = 2 * 2 * bt * dc * nb               # dx block + staging
     xz_scratch = bt * 4 * gh * 4
     dz_scratch = bt * 4 * gh * nb
     staging = 3 * bt * gh * nb              # hprev/cprev/g staging
     return ins + dx + xz_scratch + dz_scratch + staging
+
+
+def _proj_stream(xcat, params, H, hp, cd):
+    """One direction's hoisted compact input projection [B, T, 4hp]: a
+    single fully-parallel MXU matmul over the whole sequence (bias folded
+    through xcat's ones column). Used when dc > hp — at D=400/H=200 the
+    per-step in-kernel projection costs ~7ms per kernel pass while this
+    runs near MXU peak (~2ms) plus stream traffic."""
+    D = xcat.shape[-1] - 1
+    W = _pad_gates(params["Wx"], H, D, D, hp)            # [D, 4hp]
+    b = _pad_gates(params["b"][None, :], H, 1, 1, hp)    # [1, 4hp]
+    wfull = jnp.concatenate([W, b], axis=0)              # [dc, 4hp]
+    out = jax.lax.dot_general(
+        xcat.astype(cd), wfull.astype(cd),
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return out.astype(cd)
 
 
 def _fixed_bytes(dc: int, hp: int, bt: int, nb: int) -> int:
@@ -397,50 +491,68 @@ def _len_bc(lengths, B, T):
 
 
 def _call_fwd(xcat, len_bc, wf, wr, wbd, *, b_tile, t_chunk, interpret,
-              compute_bf16, seq_dtype):
+              compute_bf16, seq_dtype, proj=None):
+    """proj=(xzf, xzr) switches to the hoisted-projection variant: the two
+    compact [B, T, 4hp] streams replace the xcat views and wf/wr."""
     B, T, dc = xcat.shape
     gh = wbd.shape[0]
     nT = T // t_chunk
     grid = (B // b_tile, nT)
-    xspec_f = pl.BlockSpec((b_tile, t_chunk, dc), lambda b, t: (b, t, 0),
+    sdim = 4 * (gh // 2) if proj is not None else dc
+    xspec_f = pl.BlockSpec((b_tile, t_chunk, sdim), lambda b, t: (b, t, 0),
                            memory_space=pltpu.VMEM)
-    xspec_r = pl.BlockSpec((b_tile, t_chunk, dc),
+    xspec_r = pl.BlockSpec((b_tile, t_chunk, sdim),
                            lambda b, t: (b, nT - 1 - t, 0),
                            memory_space=pltpu.VMEM)
     stream = pl.BlockSpec((b_tile, t_chunk, gh), lambda b, t: (b, t, 0),
                           memory_space=pltpu.VMEM)
     const2 = lambda shape, m=lambda b, t: (0, 0): pl.BlockSpec(
         shape, m, memory_space=pltpu.VMEM)
+    if proj is not None:
+        in_specs = [xspec_f, xspec_r,
+                    const2((b_tile, 128), lambda b, t: (b, 0)),
+                    const2((gh, 4 * gh))]
+        operands = (proj[0], proj[1], len_bc, wbd)
+    else:
+        in_specs = [xspec_f, xspec_r,
+                    const2((b_tile, 128), lambda b, t: (b, 0)),
+                    const2((dc, 4 * gh)),
+                    const2((dc, 4 * gh)),
+                    const2((gh, 4 * gh))]
+        operands = (xcat, xcat, len_bc, wf, wr, wbd)
+    scratch = [
+        pltpu.VMEM((b_tile, gh), jnp.float32),
+        pltpu.VMEM((b_tile, gh), jnp.float32),
+        pltpu.VMEM((t_chunk, b_tile, 4 * gh), jnp.float32),
+        pltpu.VMEM((t_chunk, b_tile, gh), seq_dtype),
+        pltpu.VMEM((t_chunk, b_tile, gh), seq_dtype),
+        pltpu.VMEM((t_chunk, b_tile, gh), seq_dtype),
+    ]
+    if proj is not None:
+        sdt = proj[0].dtype
+        scratch += [pltpu.VMEM((t_chunk, b_tile, sdim), sdt)] * 2
     return pl.pallas_call(
         functools.partial(_fwd_kernel, t_chunk=t_chunk, gh=gh, T=T,
-                          compute_bf16=compute_bf16),
+                          compute_bf16=compute_bf16,
+                          proj_in=proj is not None),
         grid=grid,
-        in_specs=[
-            xspec_f, xspec_r,
-            const2((b_tile, 128), lambda b, t: (b, 0)),
-            const2((dc, 4 * gh)),
-            const2((dc, 4 * gh)),
-            const2((gh, 4 * gh)),
-        ],
+        in_specs=in_specs,
         out_specs=[stream, stream, stream],
         out_shape=[jax.ShapeDtypeStruct((B, T, gh), seq_dtype)] * 3,
-        scratch_shapes=[
-            pltpu.VMEM((b_tile, gh), jnp.float32),
-            pltpu.VMEM((b_tile, gh), jnp.float32),
-            pltpu.VMEM((t_chunk, b_tile, 4 * gh), jnp.float32),
-            pltpu.VMEM((t_chunk, b_tile, gh), seq_dtype),
-            pltpu.VMEM((t_chunk, b_tile, gh), seq_dtype),
-            pltpu.VMEM((t_chunk, b_tile, gh), seq_dtype),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(xcat, xcat, len_bc, wf, wr, wbd)
+    )(*operands)
 
 
 def _call_bwd(xcat, len_bc, hprev, cprev, gseq, wf, wr, wbd, wxt,
-              *, b_tile, t_chunk, interpret, compute_bf16, dx_dtype):
+              *, b_tile, t_chunk, interpret, compute_bf16, dx_dtype,
+              proj=None):
+    """proj=(xzf, xzr) adds the hoisted-projection streams (gate
+    recomputation source); the xcat views stay for the dWf/dWr
+    contractions and wf/wr drop out."""
     B, T, dc = xcat.shape
     gh = wbd.shape[0]
     dx2 = wxt.shape[1]
@@ -459,11 +571,25 @@ def _call_bwd(xcat, len_bc, hprev, cprev, gseq, wf, wr, wbd, wxt,
         shape, m, memory_space=pltpu.VMEM)
     wdt = jnp.bfloat16 if compute_bf16 else jnp.float32
     dz_dt = jnp.bfloat16 if compute_bf16 else jnp.float32
-    return pl.pallas_call(
-        functools.partial(_bwd_kernel, t_chunk=t_chunk, gh=gh, T=T,
-                          compute_bf16=compute_bf16),
-        grid=grid,
-        in_specs=[
+    if proj is not None:
+        sdim = 4 * (gh // 2)
+        zspec_f = pl.BlockSpec((b_tile, t_chunk, sdim), rev,
+                               memory_space=pltpu.VMEM)
+        zspec_r = pl.BlockSpec((b_tile, t_chunk, sdim), fwd_map,
+                               memory_space=pltpu.VMEM)
+        in_specs = [
+            xspec_f, xspec_r, zspec_f, zspec_r,
+            const2((b_tile, 128), lambda b, t: (b, 0)),
+            stream, stream, stream,
+            const2((gh, 4 * gh)),
+            const2((4 * gh, gh)),
+            const2((4 * gh, dx2)),
+        ]
+        operands = (xcat, xcat, proj[0], proj[1], len_bc,
+                    hprev, cprev, gseq, wbd.astype(wdt),
+                    jnp.swapaxes(wbd, 0, 1).astype(wdt), wxt.astype(wdt))
+    else:
+        in_specs = [
             xspec_f, xspec_r,
             const2((b_tile, 128), lambda b, t: (b, 0)),
             stream, stream, stream,
@@ -472,7 +598,16 @@ def _call_bwd(xcat, len_bc, hprev, cprev, gseq, wf, wr, wbd, wxt,
             const2((gh, 4 * gh)),
             const2((4 * gh, gh)),
             const2((4 * gh, dx2)),
-        ],
+        ]
+        operands = (xcat, xcat, len_bc, hprev, cprev, gseq,
+                    wf.astype(wdt), wr.astype(wdt), wbd.astype(wdt),
+                    jnp.swapaxes(wbd, 0, 1).astype(wdt), wxt.astype(wdt))
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, t_chunk=t_chunk, gh=gh, T=T,
+                          compute_bf16=compute_bf16,
+                          proj_in=proj is not None),
+        grid=grid,
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((b_tile, t_chunk, dx2), rev,
                          memory_space=pltpu.VMEM),
@@ -495,14 +630,13 @@ def _call_bwd(xcat, len_bc, hprev, cprev, gseq, wf, wr, wbd, wxt,
             pltpu.VMEM((t_chunk, b_tile, gh), dz_dt),
             pltpu.VMEM((t_chunk, b_tile, gh), dz_dt),
             pltpu.VMEM((t_chunk, b_tile, dx2), dx_dtype),
-        ],
+        ] + ([pltpu.VMEM((t_chunk, b_tile, 4 * (gh // 2)),
+                         proj[0].dtype)] * 2 if proj is not None else []),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(xcat, xcat, len_bc, hprev, cprev, gseq,
-      wf.astype(wdt), wr.astype(wdt), wbd.astype(wdt),
-      jnp.swapaxes(wbd, 0, 1).astype(wdt), wxt.astype(wdt))
+    )(*operands)
 
 
 def _prep(params_f, params_r, x, lengths, bf16: bool):
@@ -543,12 +677,20 @@ def _fwd_impl(params_f, params_r, x, lengths, t_chunk, interpret, xz_bf16=True):
     dc = D + 1
     nb = 2 if xz_bf16 else 4
     wdt = jnp.bfloat16 if xz_bf16 else jnp.float32
-    bt, tc = _pick_tiles(B, T, lambda b: _fwd_trow_bytes(b, dc, hp, nb),
-                         t_chunk)
+    proj = None
+    if dc > hp:
+        # Large input dim: hoist the projection out of the serial kernel
+        # (one big parallel matmul per direction; see _proj_stream).
+        proj = (_proj_stream(xcat, params_f, H, hp, wdt),
+                _proj_stream(xcat, params_r, H, hp, wdt))
+    bt, tc = _pick_tiles(
+        B, T,
+        lambda b: _fwd_trow_bytes(b, dc, hp, nb, hoisted=proj is not None),
+        t_chunk)
     h_seq, hprev, cprev = _call_fwd(
         xcat, len_bc, wf.astype(wdt), wr.astype(wdt), wbd.astype(wdt),
         b_tile=bt, t_chunk=tc, interpret=interpret, compute_bf16=xz_bf16,
-        seq_dtype=jnp.bfloat16 if xz_bf16 else jnp.float32)
+        seq_dtype=jnp.bfloat16 if xz_bf16 else jnp.float32, proj=proj)
     lens = jnp.full((B,), T, jnp.int32) if lengths is None else lengths
     mask = (jnp.arange(T)[None, :] < lens[:, None]).astype(jnp.float32)
     hm = h_seq.astype(jnp.float32)
@@ -562,7 +704,7 @@ def _fwd_impl(params_f, params_r, x, lengths, t_chunk, interpret, xz_bf16=True):
          jnp.flip(hm, axis=1)[..., hp:hp + H]],
         axis=-1).astype(x.dtype)
     res = (params_f, params_r, x, lengths, xcat, wf, wr, wbd, len_bc,
-           hprev, cprev, H, hp)
+           hprev, cprev, H, hp, proj)
     return y, res
 
 
@@ -573,7 +715,7 @@ def _vjp_fwd(params_f, params_r, x, lengths, t_chunk, interpret, xz_bf16):
 
 def _vjp_bwd(t_chunk, interpret, xz_bf16, res, gy):
     (params_f, params_r, x, lengths, xcat, wf, wr, wbd, len_bc,
-     hprev, cprev, H, hp) = res
+     hprev, cprev, H, hp, proj) = res
     gh = 2 * hp
     B, T, D = x.shape
     dc = D + 1
@@ -592,12 +734,14 @@ def _vjp_bwd(t_chunk, interpret, xz_bf16, res, gy):
 
     wxt = _make_wxt(params_f, params_r, H, D, hp)
     nb = 2 if xz_bf16 else 4
-    bt, tc = _pick_tiles(B, T, lambda b: _bwd_trow_bytes(b, dc, hp, nb),
-                         t_chunk)
+    bt, tc = _pick_tiles(
+        B, T,
+        lambda b: _bwd_trow_bytes(b, dc, hp, nb, hoisted=proj is not None),
+        t_chunk)
     dxcat, dwf, dwr, dwh = _call_bwd(
         xcat, len_bc, hprev, cprev, gseq, wf, wr, wbd, wxt,
         b_tile=bt, t_chunk=tc, interpret=interpret, compute_bf16=xz_bf16,
-        dx_dtype=gdt)
+        dx_dtype=gdt, proj=proj)
 
     # Gate-major -> reference-layout extraction on the small weight grads.
     grads = []

@@ -77,3 +77,52 @@ def test_large_hidden_hp256():
     for k in g1:
         np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g2[k]),
                                    rtol=5e-4, atol=1e-4)
+
+
+def test_hoisted_projection_large_D():
+    """dc > hp triggers the hoisted-projection path (one big XLA matmul
+    feeding compact xz streams; config-4 layer 2 is D=400/H=200). Forward
+    and full VJP must match the scan oracle in strict-f32 mode."""
+    B, T, D, H = 2, 8, 160, 7          # hp=128, dc=161 > 128 -> hoisted
+    pf = lstm_init(jax.random.PRNGKey(30), D, H, scale=0.2)
+    pr = lstm_init(jax.random.PRNGKey(31), D, H, scale=0.2)
+    x = jax.random.normal(jax.random.PRNGKey(32), (B, T, D))
+    lengths = jnp.array([8, 5])
+    want = bidi_lstm_apply(pf, pr, x, lengths)
+    got = bidi_lstm_pallas(pf, pr, x, lengths, 4, True, False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-6)
+
+    def loss_scan(pf_, pr_, x_):
+        return jnp.sum(bidi_lstm_apply(pf_, pr_, x_, lengths) ** 2)
+
+    def loss_pl(pf_, pr_, x_):
+        return jnp.sum(bidi_lstm_pallas(pf_, pr_, x_, lengths, 4, True,
+                                        False) ** 2)
+
+    g1 = jax.grad(loss_scan, argnums=(0, 1, 2))(pf, pr, x)
+    g2 = jax.grad(loss_pl, argnums=(0, 1, 2))(pf, pr, x)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-4)
+
+
+def test_bf16_gradient_close():
+    """Production mode (xz_bf16) runs the bwd VJP chain in bf16 —
+    gradient-only noise must stay within ~2% relative of the f32 oracle."""
+    pf, pr, x, lengths = _setup()
+
+    def loss(fn):
+        return lambda pf_, pr_: jnp.sum(
+            fn(pf_, pr_, x, lengths) ** 2)
+
+    g_ref = jax.grad(loss(lambda a, b, x_, l: bidi_lstm_apply(a, b, x_, l)),
+                     argnums=(0, 1))(pf, pr)
+    g_blf = jax.grad(
+        loss(lambda a, b, x_, l: bidi_lstm_pallas(a, b, x_, l, 8, True,
+                                                  True)),
+        argnums=(0, 1))(pf, pr)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_blf)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-3)
+        np.testing.assert_allclose(b, a, rtol=0, atol=0.03 * scale)

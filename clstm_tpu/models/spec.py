@@ -238,10 +238,13 @@ def _make_full_apply(nonlin: str):
 
 
 def _softmax_apply(spec, params, x, lengths, ctx):
+    # Posteriors/logits are always f32: upstream layers may stream bf16
+    # activations (the fused bidi path's production mode), but the CTC
+    # alignment recipe and decode operate on full-precision outputs.
     z = _affine(params["weights"], x, ctx)
     if ctx.logits:
-        return z.astype(x.dtype)
-    return jax.nn.softmax(z, axis=-1).astype(x.dtype)
+        return z
+    return jax.nn.softmax(z, axis=-1)
 
 
 def _attr_noutput(spec: NetSpec) -> int:

@@ -699,10 +699,16 @@ def _fwd_impl(params_f, params_r, x, lengths, t_chunk, interpret, xz_bf16=True):
     # (original time T-1-s) with exact zeros in their phantom prefix from
     # the in-kernel boundary reset — a global stride-reversal flip (not a
     # gather) restores original time, zeros landing on the padding.
+    # Production mode emits y in bf16: h_seq is ALREADY stored bf16 by the
+    # kernel and every downstream consumer (next bidi layer's xcat, the
+    # affine MXU matmuls) casts to bf16 anyway, so this is lossless while
+    # halving the inter-layer glue bandwidth ([B,T,2H] epilogue + the next
+    # layer's xcat concat are pure HBM passes).
+    y_dt = jnp.bfloat16 if (xz_bf16 and x.dtype == jnp.float32) else x.dtype
     y = jnp.concatenate(
         [hm[..., :H] * mask[:, :, None],
          jnp.flip(hm, axis=1)[..., hp:hp + H]],
-        axis=-1).astype(x.dtype)
+        axis=-1).astype(y_dt)
     res = (params_f, params_r, x, lengths, xcat, wf, wr, wbd, len_bc,
            hprev, cprev, H, hp, proj)
     return y, res

@@ -209,12 +209,17 @@ def ctc_align_targets_batched(
     # lmatch[b,t,s] = log out[b,t,target_ids[b,s]]; NEG for invalid states.
     if use_pallas:
         # One-hot contraction instead of take_along_axis: the MXU batched
-        # matmul beats the lane gather on TPU (2.3ms vs 3.8ms at the bench
-        # shape), and out @ onehot^T equals the gather exactly for one-hot
-        # rows (invalid states give 0 -> log floored by the NEG mask).
-        prod = jnp.einsum("btc,bsc->bts", out.astype(jnp.bfloat16),
-                          onehot.astype(jnp.bfloat16),
-                          preferred_element_type=f32)
+        # matmul beats the lane gather on TPU. precision=HIGHEST is
+        # REQUIRED for exactness: TPU default matmul precision quantizes
+        # f32 operands to bf16 on the MXU, and quantized lmatch noises the
+        # alignment targets enough to stall CTC training (round-2
+        # regression: config-3 CER stuck at ~46% vs <1% at 100k trials;
+        # hardware-only — CPU interpret runs true f32 and shows parity).
+        # With HIGHEST the one-hot contraction matches the gather to
+        # ~f32 ulp (selected probabilities times exactly 1.0).
+        prod = jnp.einsum("btc,bsc->bts", out, onehot,
+                          preferred_element_type=f32,
+                          precision=jax.lax.Precision.HIGHEST)
         lmatch = jnp.log(jnp.maximum(prod, 1e-30))
     else:
         gathered = jnp.take_along_axis(
@@ -264,7 +269,10 @@ def ctc_align_targets_batched(
         col = jnp.sum(epath, axis=1, keepdims=True)                  # per-state mass over time
         epath = epath / jnp.where(col == 0.0, 1e-9, col)
 
-    aligned = jnp.einsum("bts,bsc->btc", epath, onehot)
+    # HIGHEST here too: the result IS the training target; TPU default
+    # precision would round epath/onehot to bf16 on the MXU.
+    aligned = jnp.einsum("bts,bsc->btc", epath, onehot,
+                         precision=jax.lax.Precision.HIGHEST)
     aligned = jnp.maximum(aligned, lo)
     aligned = aligned / jnp.sum(aligned, axis=2, keepdims=True)
     return aligned

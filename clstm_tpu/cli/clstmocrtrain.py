@@ -19,6 +19,10 @@ TPU-native additions (no reference equivalent):
   batch_size=32      lines per device batch (the throughput lever)
   net=bidi           prefab kind (bidi/bidi2/lstm1/...)
   log_jsonl=         path for structured JSONL metrics
+  augment=0          >0 enables on-device train-time augmentation
+                     (ops/preprocess.py augment_lines: per-line amplitude,
+                     noise, small time/height shifts — closes the
+                     generalization gap on small corpora; 1.0 = standard)
   cache=auto         device|host|auto — device keeps the prepared corpus
                      resident in HBM and gathers batches on device (the
                      host->device link is otherwise the pipeline
@@ -95,6 +99,7 @@ def main(argv=None) -> int:
     gradient_clip = getdenv("gradient_clip", 0.0)
     normalization = getsenv("normalization", "none")
     initial = getdenv("initial", 0.0)  # weight init scale (0 = default)
+    augment = getdenv("augment", 0.0)  # on-device augmentation strength
 
     train_ds = OcrDataset(argv[0], target_height=target_height, dewarp=dewarp)
     test_ds = (OcrDataset(argv[1], target_height=target_height, dewarp=dewarp)
@@ -113,6 +118,7 @@ def main(argv=None) -> int:
         ocr.createBidi(codec, nhidden, kind=net_kind, seed=randseed, **extra)
     ocr.setLearningRate(lrate, momentum)
     ocr.gradient_clip = gradient_clip
+    ocr.augment = augment
     ocr.normalization = normalization  # reference lr-normalization attr
     print(f"# codec size {codec.size()}, net {net_kind}, nhidden {nhidden}")
 

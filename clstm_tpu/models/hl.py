@@ -66,6 +66,7 @@ class _TrainableBase:
         self.momentum = 0.9
         self.normalization = "none"
         self.gradient_clip = 0.0   # >0 enables global-norm clipping
+        self.augment = 0.0         # >0 enables on-device augmentation
         self._step = None
         self._predict = None
 
@@ -79,7 +80,8 @@ class _TrainableBase:
             self._step = make_train_step(
                 self.spec, self.lr, self.momentum, loss_kind="ctc",
                 normalization=self.normalization,
-                gradient_clip=self.gradient_clip, donate=False)
+                gradient_clip=self.gradient_clip, augment=self.augment,
+                donate=False)
             self._predict = make_predict_step(self.spec)
 
     def train_batch(self, batch: dict) -> dict:

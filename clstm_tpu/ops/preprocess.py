@@ -310,3 +310,44 @@ def estimate_out_T(images, target_height: int, pad: int = 16) -> int:
         h, w = im.shape
         est = max(est, int(w * max(target_height / max(h, 1), 1.0) * 1.25))
     return est + 2 * pad
+
+
+# ---------------------------------------------------------------------------
+# On-device train-time augmentation
+# ---------------------------------------------------------------------------
+
+def augment_lines(key, x, lengths, strength: float = 1.0):
+    """Random per-line distortions of a prepared batch, fully on device.
+
+    A TPU-native addition with no reference equivalent (the reference
+    trains on static files): with small corpora (UW3-500 is 500 lines)
+    the train set memorizes long before the test CER bottoms out —
+    round-2 measurement: train CER 0, test CER stuck at 2.85%.
+    Augmentation runs INSIDE the jitted train step (key derived from the
+    step counter via fold_in, so no extra inputs or host dispatches) and
+    costs a few elementwise passes + one gather over [B, T, H].
+
+    Distortions at strength 1.0: per-line amplitude scale U(0.8, 1.2),
+    additive gaussian pixel noise (std 0.05), per-line time shift
+    U{-4..4} frames and height shift U{-2..2} rows (prepared lines carry
+    16 blank pad frames, so small shifts never clip ink). Padded frames
+    are re-zeroed afterwards, preserving the padding invariants.
+    """
+    B, T, H = x.shape
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    amp = 1.0 + 0.2 * strength * jax.random.uniform(
+        k1, (B, 1, 1), minval=-1.0, maxval=1.0)
+    noise = 0.05 * strength * jax.random.normal(k2, (B, T, H))
+
+    max_t = max(int(round(4 * strength)), 0)
+    max_h = max(int(round(2 * strength)), 0)
+    sh_t = jax.random.randint(k3, (B,), -max_t, max_t + 1)
+    sh_h = jax.random.randint(k4, (B,), -max_h, max_h + 1)
+    t_idx = (jnp.arange(T)[None, :] - sh_t[:, None]) % T          # [B, T]
+    h_idx = (jnp.arange(H)[None, :] - sh_h[:, None]) % H          # [B, H]
+    y = jnp.take_along_axis(x, t_idx[:, :, None], axis=1)
+    y = jnp.take_along_axis(y, h_idx[:, None, :], axis=2)
+
+    mask = (jnp.arange(T)[None, :] < lengths[:, None])[:, :, None]
+    y = jnp.clip(y * amp + noise, 0.0, 1.5)
+    return jnp.where(mask, y, 0.0).astype(x.dtype)

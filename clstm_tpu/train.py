@@ -143,6 +143,7 @@ def make_train_step(spec: NetSpec, lr: float = 1e-4, momentum: float = 0.9, *,
                     loss_kind: str = "ctc",
                     normalization: str = "none", compute_dtype=None,
                     gradient_clip: float = 0.0,
+                    augment: float = 0.0, augment_seed: int = 0,
                     donate: bool = True):
     """Build the jitted end-to-end training step.
 
@@ -155,8 +156,18 @@ def make_train_step(spec: NetSpec, lr: float = 1e-4, momentum: float = 0.9, *,
     clipping (non-reference stability option).
     """
     loss_fn = _LOSSES[loss_kind]
+    aug_base = jax.random.PRNGKey(augment_seed)
 
     def step(state: TrainState, batch: dict, lr_t, momentum_t):
+        if augment > 0:
+            # On-device train-time augmentation (ops/preprocess.py): the
+            # key folds in the step counter, so it needs no extra inputs
+            # and no host dispatch; augment=0 (default) is exact
+            # reference semantics.
+            from clstm_tpu.ops.preprocess import augment_lines
+            key = jax.random.fold_in(aug_base, state.step)
+            batch = dict(batch, x=augment_lines(key, batch["x"],
+                                                batch["lengths"], augment))
         (loss, (probs, _aligned)), grads = jax.value_and_grad(
             lambda p: loss_fn(spec, p, batch,
                               normalization=normalization,

@@ -111,3 +111,57 @@ def test_estimate_out_T_bounds_real_width(lines):
         jnp.asarray(buf), jnp.asarray(hs), jnp.asarray(ws), kind="center",
         target_height=TH, out_T=1024, pad=PAD)
     assert int(np.max(np.asarray(lengths))) <= est
+
+
+def test_augment_lines_invariants():
+    """augment: strength 0 ~= identity; padding stays exactly zero; output
+    bounded; deterministic in the key."""
+    import jax
+    import jax.numpy as jnp
+    from clstm_tpu.ops.preprocess import augment_lines
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(4, 64, 16).astype(np.float32))
+    lengths = jnp.asarray(np.array([64, 40, 10, 1], np.int32))
+    key = jax.random.PRNGKey(7)
+
+    y0 = augment_lines(key, x, lengths, strength=0.0)
+    mask = (np.arange(64)[None, :] < np.asarray(lengths)[:, None])[..., None]
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(x) * mask,
+                               rtol=0, atol=1e-6)
+
+    y1 = np.asarray(augment_lines(key, x, lengths, strength=1.0))
+    assert np.all(y1[~np.broadcast_to(mask, y1.shape)] == 0.0)
+    assert y1.min() >= 0.0 and y1.max() <= 1.5
+    y1b = np.asarray(augment_lines(key, x, lengths, strength=1.0))
+    np.testing.assert_array_equal(y1, y1b)
+    y2 = np.asarray(augment_lines(jax.random.PRNGKey(8), x, lengths, 1.0))
+    assert np.abs(y2 - y1).max() > 1e-3
+
+
+def test_train_step_with_augment_runs():
+    import jax
+    import jax.numpy as jnp
+    from clstm_tpu.models.prefab import make_net_init
+    from clstm_tpu.ops.ctc import mktargets_ids
+    from clstm_tpu.train import TrainState, make_train_step
+
+    spec, params = make_net_init(
+        "bidi", {"ninput": 8, "nhidden": 8, "noutput": 6},
+        jax.random.PRNGKey(0))
+    step = make_train_step(spec, lr=1e-3, momentum=0.9, loss_kind="ctc",
+                           augment=1.0)
+    state = TrainState.create(params)
+    rng = np.random.RandomState(0)
+    B, T = 4, 32
+    tids = np.stack([mktargets_ids(rng.randint(1, 6, size=3))
+                     for _ in range(B)])
+    batch = {"x": jnp.asarray(rng.rand(B, T, 8).astype(np.float32)),
+             "lengths": jnp.asarray(np.array([32, 30, 20, 25], np.int32)),
+             "targets": jnp.asarray(tids),
+             "target_lengths": jnp.full((B,), 7, jnp.int32)}
+    s1, m1 = step(state, batch)
+    s2, m2 = step(s1, batch)
+    # different step counters -> different augmentation -> different loss
+    assert float(m1["loss"]) != float(m2["loss"])
+    assert np.isfinite(float(m2["loss"]))

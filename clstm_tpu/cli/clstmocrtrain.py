@@ -23,6 +23,13 @@ TPU-native additions (no reference equivalent):
                      (ops/preprocess.py augment_lines: per-line amplitude,
                      noise, small time/height shifts — closes the
                      generalization gap on small corpora; 1.0 = standard)
+  mesh=0             data-parallel device count: 0 = all visible devices
+                     (multi-chip DP engages automatically when >1 chip is
+                     present), 1 = force single-device, N = first N chips.
+                     The DP step is numerically the single-device update
+                     on the full batch (psum-summed gradients; CLI-level
+                     equivalence tested on the virtual 8-device mesh);
+                     batch_size is rounded up to divide by the mesh.
   cache=auto         device|host|auto — device keeps the prepared corpus
                      resident in HBM and gathers batches on device (the
                      host->device link is otherwise the pipeline
@@ -100,6 +107,7 @@ def main(argv=None) -> int:
     normalization = getsenv("normalization", "none")
     initial = getdenv("initial", 0.0)  # weight init scale (0 = default)
     augment = getdenv("augment", 0.0)  # on-device augmentation strength
+    mesh_n = getienv("mesh", 0)        # devices for DP (0 = all, 1 = off)
 
     train_ds = OcrDataset(argv[0], target_height=target_height, dewarp=dewarp)
     test_ds = (OcrDataset(argv[1], target_height=target_height, dewarp=dewarp)
@@ -122,6 +130,26 @@ def main(argv=None) -> int:
     ocr.normalization = normalization  # reference lr-normalization attr
     print(f"# codec size {codec.size()}, net {net_kind}, nhidden {nhidden}")
 
+    # Multi-chip data parallelism (SURVEY.md §2 parallelism plan): with
+    # more than one device (or an explicit mesh=N), train with the
+    # shard_map+psum step — numerically the single-device update on the
+    # full batch — and shard the device cache/predict over the mesh. No
+    # user code required: `mesh=1` opts out.
+    import jax
+    mesh = None
+    n_mesh = mesh_n if mesh_n > 0 else jax.device_count()
+    n_mesh = min(n_mesh, jax.device_count())
+    if n_mesh > 1:
+        from clstm_tpu.parallel.mesh import make_mesh
+        if batch_size % n_mesh:
+            new_bs = -(-batch_size // n_mesh) * n_mesh
+            print(f"# batch_size {batch_size} -> {new_bs} "
+                  f"(must divide by mesh size {n_mesh})")
+            batch_size = new_bs
+        mesh = make_mesh(n_mesh)
+        ocr.set_mesh(mesh)
+        print(f"# data-parallel over {n_mesh} devices", flush=True)
+
     print("# preparing lines...", flush=True)
     samples = train_ds.load_all()
     test_samples = test_ds.load_all() if test_ds else None
@@ -138,8 +166,8 @@ def main(argv=None) -> int:
                                            and est_mb <= cache_limit)
     dcache = test_cache = None
     if use_cache:
-        dcache = DeviceDataset(samples, codec)
-        test_cache = (DeviceDataset(test_samples, codec)
+        dcache = DeviceDataset(samples, codec, mesh=mesh)
+        test_cache = (DeviceDataset(test_samples, codec, mesh=mesh)
                       if test_samples else None)
         print(f"# device cache: {dcache.nbytes / 1e6:.0f} MB resident",
               flush=True)

@@ -42,8 +42,7 @@ def _gather(x, targets, lengths, tlens, idx):
     return x[idx], targets[idx], lengths[idx], tlens[idx]
 
 
-@jax.jit
-def _gather_at(x, targets, lengths, tlens, idx_all, j):
+def _gather_at_impl(x, targets, lengths, tlens, idx_all, j):
     """Gather batch j of a device-resident epoch index plan [nb, B].
 
     The batch counter j lives ON DEVICE and the incremented counter is
@@ -52,6 +51,9 @@ def _gather_at(x, targets, lengths, tlens, idx_all, j):
     ~26ms tunnel round-trip; measured round 2.)"""
     idx = jax.lax.dynamic_index_in_dim(idx_all, j, axis=0, keepdims=False)
     return x[idx], targets[idx], lengths[idx], tlens[idx], j + 1
+
+
+_gather_at = jax.jit(_gather_at_impl)
 
 
 class DeviceDataset:
@@ -66,7 +68,22 @@ class DeviceDataset:
                  codec: Codec,
                  t_buckets: Sequence[int] = T_BUCKETS,
                  s_buckets: Sequence[int] = S_BUCKETS,
-                 device=None):
+                 device=None, mesh=None, axis: str = "data"):
+        # Sharded placement (multi-chip DP): the corpus groups are small,
+        # so they are REPLICATED across the mesh and each per-batch gather
+        # emits its outputs sharded along the batch dim — every device
+        # gathers only its own rows locally (no collectives); the batch
+        # lands already placed for parallel.dp.make_parallel_train_step.
+        self.mesh = mesh
+        self._repl = None
+        self._gather_at = _gather_at
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self._repl = NamedSharding(mesh, P())
+            row = NamedSharding(mesh, P(axis))
+            self._gather_at = jax.jit(
+                _gather_at_impl,
+                out_shardings=(row, row, row, row, self._repl))
         groups: dict = {}
         for x, text in samples:
             classes = codec.encode(text)
@@ -94,8 +111,12 @@ class DeviceDataset:
                 tlens[i] = S
                 texts.append(text)
             self.nbytes += x.nbytes + targets.nbytes
-            put = (lambda a: jax.device_put(a, device)) if device is not None \
-                else jax.device_put
+            if self._repl is not None:
+                put = lambda a: jax.device_put(a, self._repl)
+            elif device is not None:
+                put = lambda a: jax.device_put(a, device)
+            else:
+                put = jax.device_put
             self.groups.append({
                 "tb": tb, "sb": sb, "n": N, "texts": texts,
                 "x": put(x), "targets": put(targets),
@@ -136,8 +157,13 @@ class DeviceDataset:
                 chunks.append(chunk)
             if chunks:
                 idx_all = np.stack(chunks).astype(np.int32)
-                plans.append([g, idx_all, jnp.asarray(idx_all),
-                              jnp.zeros((), jnp.int32), 0])
+                if self._repl is not None:
+                    dev_idx = jax.device_put(idx_all, self._repl)
+                    j0 = jax.device_put(np.zeros((), np.int32), self._repl)
+                else:
+                    dev_idx = jnp.asarray(idx_all)
+                    j0 = jnp.zeros((), jnp.int32)
+                plans.append([g, idx_all, dev_idx, j0, 0])
         seq = [p for p in plans for _ in range(len(p[1]))]
         if rng is not None:
             rng.shuffle(seq)
@@ -145,7 +171,7 @@ class DeviceDataset:
             g = p[0]
             chunk = p[1][p[4]]        # host copy of this batch's indices
             p[4] += 1
-            x, targets, lengths, tlens, p[3] = _gather_at(
+            x, targets, lengths, tlens, p[3] = self._gather_at(
                 g["x"], g["targets"], g["lengths"], g["tlens"], p[2], p[3])
             nreal = int(np.sum(chunk < g["n"]))
             yield {

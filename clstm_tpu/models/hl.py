@@ -67,6 +67,7 @@ class _TrainableBase:
         self.normalization = "none"
         self.gradient_clip = 0.0   # >0 enables global-norm clipping
         self.augment = 0.0         # >0 enables on-device augmentation
+        self.mesh = None           # set_mesh() switches to multi-chip DP
         self._step = None
         self._predict = None
 
@@ -75,20 +76,45 @@ class _TrainableBase:
         self.lr = float(lr)
         self.momentum = float(momentum)
 
+    def set_mesh(self, mesh) -> None:
+        """Enable data-parallel training/inference over ``mesh`` (a 1-D
+        jax.sharding.Mesh, see parallel.mesh.make_mesh): the train step
+        becomes the shard_map+psum step (numerically the single-device
+        update on the full batch), predict shards rows over the mesh, and
+        the TrainState is replicated. Batch rows must divide by the mesh
+        size. ``set_mesh(None)`` reverts to single-device."""
+        self.mesh = mesh
+        self._step = None
+        self._predict = None
+
     def _ensure_compiled(self):
         if self._step is None:
-            self._step = make_train_step(
-                self.spec, self.lr, self.momentum, loss_kind="ctc",
-                normalization=self.normalization,
-                gradient_clip=self.gradient_clip, augment=self.augment,
-                donate=False)
-            self._predict = make_predict_step(self.spec)
+            if self.mesh is not None:
+                from clstm_tpu.parallel.dp import make_parallel_train_step
+                from clstm_tpu.parallel.mesh import replicate
+                self._step = make_parallel_train_step(
+                    self.spec, self.mesh, self.lr, self.momentum,
+                    loss_kind="ctc", normalization=self.normalization,
+                    gradient_clip=self.gradient_clip, augment=self.augment,
+                    donate=False)
+                self._predict = make_predict_step(self.spec, mesh=self.mesh)
+                self.state = replicate(self.state, self.mesh)
+            else:
+                self._step = make_train_step(
+                    self.spec, self.lr, self.momentum, loss_kind="ctc",
+                    normalization=self.normalization,
+                    gradient_clip=self.gradient_clip, augment=self.augment,
+                    donate=False)
+                self._predict = make_predict_step(self.spec)
+
+    _BATCH_KEYS = ("x", "lengths", "targets", "target_lengths", "y")
 
     def train_batch(self, batch: dict) -> dict:
         """Batched CTC training on a prepared batch dict (data/dataset.py).
-        Returns metrics {loss, frame_ids, frame_vals}."""
+        Returns metrics {loss, frame_ids, frame_vals, report_ids/vals}."""
         self._ensure_compiled()
-        jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "texts"}
+        jb = {k: jnp.asarray(v) for k, v in batch.items()
+              if k in self._BATCH_KEYS}
         self.state, metrics = self._step(self.state, jb, self.lr, self.momentum)
         return metrics
 

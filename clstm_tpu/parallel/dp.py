@@ -36,6 +36,7 @@ def make_parallel_train_step(spec: NetSpec, mesh: Mesh,
                              normalization: str = "none",
                              compute_dtype=None,
                              gradient_clip: float = 0.0,
+                             augment: float = 0.0, augment_seed: int = 0,
                              axis: str = DATA_AXIS,
                              donate: bool = True):
     """Build the jitted multi-chip training step.
@@ -43,11 +44,22 @@ def make_parallel_train_step(spec: NetSpec, mesh: Mesh,
     Returns step(state, batch, lr=, momentum=) with state replicated and
     batch sharded along ``axis`` (see parallel.mesh helpers). Gradients are
     psum-reduced, so the update equals the single-device update on the full
-    batch (loss convention: summed per-line contributions).
+    batch (loss convention: summed per-line contributions). With
+    augment > 0 each shard draws an independent on-device augmentation
+    stream (key folds in both the step counter and the axis index), so the
+    multi-chip trajectory matches single-device only at augment=0.
     """
     loss_fn = _LOSSES[loss_kind]
+    aug_base = jax.random.PRNGKey(augment_seed)
 
     def device_step(state: TrainState, batch: dict, lr_t, momentum_t):
+        if augment > 0:
+            from clstm_tpu.ops.preprocess import augment_lines
+            key = jax.random.fold_in(
+                jax.random.fold_in(aug_base, state.step),
+                jax.lax.axis_index(axis))
+            batch = dict(batch, x=augment_lines(key, batch["x"],
+                                                batch["lengths"], augment))
         (loss, (probs, _)), grads = jax.value_and_grad(
             lambda p: loss_fn(spec, p, batch,
                               normalization=normalization,
@@ -62,10 +74,19 @@ def make_parallel_train_step(spec: NetSpec, mesh: Mesh,
         params, velocity = sgd_update(state.params, state.velocity, grads,
                                       lr_t, momentum_t)
         ids, vals = greedy_frames(probs)
+        # report_ids/vals: GLOBAL row 0 (lives on the axis-index-0 shard),
+        # replicated via a masked psum — keeps the DP step's metrics API
+        # interchangeable with make_train_step's (the CLI report path
+        # reads the pre-sliced row to avoid the ~65ms full-[B,T] transfer;
+        # round-2 advisor finding).
+        first = (jax.lax.axis_index(axis) == 0)
+        rep_ids = jax.lax.psum(jnp.where(first, ids[0], 0), axis)
+        rep_vals = jax.lax.psum(jnp.where(first, vals[0], 0.0), axis)
         new_state = TrainState(params=params, velocity=velocity,
                                step=state.step + 1)
         return new_state, {"loss": loss, "frame_ids": ids,
-                           "frame_vals": vals}
+                           "frame_vals": vals,
+                           "report_ids": rep_ids, "report_vals": rep_vals}
 
     batch_specs = {"x": P(axis), "lengths": P(axis),
                    "targets": P(axis), "target_lengths": P(axis)}
@@ -76,7 +97,8 @@ def make_parallel_train_step(spec: NetSpec, mesh: Mesh,
         device_step, mesh=mesh,
         in_specs=(P(), batch_specs, P(), P()),
         out_specs=(P(), {"loss": P(), "frame_ids": P(axis),
-                         "frame_vals": P(axis)}),
+                         "frame_vals": P(axis),
+                         "report_ids": P(), "report_vals": P()}),
         # The scan carries inside lstm_apply start replicated and become
         # axis-varying on first use; keep the compute kernels mesh-agnostic
         # rather than threading pvary through them.

@@ -200,15 +200,26 @@ def make_train_step(spec: NetSpec, lr: float = 1e-4, momentum: float = 0.9, *,
     return wrapped
 
 
-def make_predict_step(spec: NetSpec, *, compute_dtype=None):
-    """Jitted inference: (params, x, lengths) -> per-frame (ids, vals)."""
+def make_predict_step(spec: NetSpec, *, compute_dtype=None, mesh=None,
+                      axis: str = "data"):
+    """Jitted inference: (params, x, lengths) -> per-frame (ids, vals).
 
-    @jax.jit
+    With ``mesh`` given, the step is compiled data-parallel over the mesh:
+    params replicated, x/lengths (and the outputs) sharded along the batch
+    dim — GSPMD partitions the batched forward with no collectives on the
+    compute path. Batch rows must divide by the mesh's axis size."""
+
     def predict(params: dict, x: jax.Array, lengths: Optional[jax.Array]):
         probs = apply_net(spec, params, x, lengths, compute_dtype=compute_dtype)
         return greedy_frames(probs.astype(jnp.float32))
 
-    return predict
+    if mesh is None:
+        return jax.jit(predict)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    repl = NamedSharding(mesh, P())
+    row = NamedSharding(mesh, P(axis))
+    return jax.jit(predict, in_shardings=(repl, row, row),
+                   out_shardings=(row, row))
 
 
 def make_forward(spec: NetSpec, *, compute_dtype=None):

@@ -207,3 +207,37 @@ def test_evaluate_bounds_recompilation(tmp_path):
             samples.append((rng.rand(t, 12).astype(np.float32), "ab"))
     evaluate(ocr, samples, codec, batch_size=4)
     assert ocr._predict._cache_size() <= 2
+
+
+def test_clstmocrtrain_mesh_trajectory_matches_single_device(
+        ocr_data, tmp_path, monkeypatch, capsys):
+    """CLI-level DP equivalence (SURVEY.md §2 parallelism plan): training
+    with mesh=8 on the virtual 8-device mesh must reproduce the mesh=1
+    trajectory — same data order, psum-summed gradients, identical final
+    weights (within f32 reduction noise)."""
+    import jax
+    from clstm_tpu.io.proto import load_net
+
+    manifest, _ = ocr_data
+    from clstm_tpu.cli import clstmocrtrain
+    outs = {}
+    for mesh in ("1", "8"):
+        save = str(tmp_path / f"model-m{mesh}")
+        env = {
+            "save_name": save, "ntrain": "200", "lrate": "3e-3",
+            "momentum": "0.9", "nhidden": "12", "report_every": "100",
+            "save_every": "1000", "test_every": "1000",
+            "target_height": "24", "dewarp": "none", "batch_size": "8",
+            "randseed": "0", "mesh": mesh,
+        }
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        assert clstmocrtrain.main([manifest]) == 0
+        _, params, _, _ = load_net(save + "-last.clstm")
+        outs[mesh] = params
+    if "8" in outs:
+        out = capsys.readouterr().out
+        assert "data-parallel over 8 devices" in out
+    for a, b in zip(jax.tree.leaves(outs["1"]), jax.tree.leaves(outs["8"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=2e-5)

@@ -238,9 +238,11 @@ def _make_full_apply(nonlin: str):
 
 
 def _softmax_apply(spec, params, x, lengths, ctx):
-    # Posteriors/logits are always f32: upstream layers may stream bf16
-    # activations (the fused bidi path's production mode), but the CTC
-    # alignment recipe and decode operate on full-precision outputs.
+    # DTYPE CONTRACT (intentional, round-2 change): SoftmaxLayer always
+    # returns f32 posteriors/logits, regardless of input dtype. Upstream
+    # layers may stream bf16 activations (the fused bidi path's production
+    # mode), but the CTC alignment recipe and decode operate on
+    # full-precision outputs; other layer kinds preserve x.dtype.
     z = _affine(params["weights"], x, ctx)
     if ctx.logits:
         return z
@@ -329,14 +331,14 @@ def _parallel_apply(spec, params, x, lengths, ctx):
     if ctx.fuse_bidi and _is_bidi_pair(spec):
         pf = params["sub"][0]["weights"]
         pr = params["sub"][1]["sub"][0]["weights"]
-        B, T, _ = x.shape
+        B, T, D = x.shape
         H = pf["Wh"].shape[0]
         use_pallas = ctx.use_pallas
         if use_pallas is None:
             from clstm_tpu.ops.pallas_lstm import fits_pallas
             use_pallas = (jax.default_backend() == "tpu"
                           and ctx.compute_dtype is None
-                          and T % 8 == 0 and fits_pallas(B, T, H=H))
+                          and T % 8 == 0 and fits_pallas(B, T, H=H, D=D))
             if not use_pallas and jax.default_backend() == "tpu" \
                     and ctx.compute_dtype is None:
                 _warn_pallas_fallback(B, T, H)

@@ -126,3 +126,29 @@ def test_bf16_gradient_close():
         a, b = np.asarray(a), np.asarray(b)
         scale = max(np.abs(a).max(), 1e-3)
         np.testing.assert_allclose(b, a, rtol=0, atol=0.03 * scale)
+
+
+def test_fits_pallas_models_the_real_kernel_config():
+    """fits_pallas must test the SAME configuration _pick_tiles will run:
+    real input dim, hoisted-projection decision (dc > hp), production
+    nb=2 byte model (round-2 advisor: hardcoded dc=64 gated a different
+    kernel than the one that ran)."""
+    from clstm_tpu.ops import pallas_lstm as pk
+
+    # bidi2 L2 shape: H=200 (hp=256), D=2H=400 -> dc=401 > hp -> hoisted.
+    B, T, H, D = 256, 1024, 200, 400
+    assert pk.fits_pallas(B, T, H=H, D=D)
+    hp = pk._hp_for(H)
+    dc = D + 1
+    assert dc > hp  # the kernel hoists here; the gate must model that
+    trow = lambda b: pk._bwd_trow_bytes(b, dc, hp, 2, hoisted=True)
+    bt, tc = pk._pick_tiles(B, T, trow, 8)
+    assert trow(bt) * tc <= pk._vmem_budget()
+    assert (pk._fixed_bytes(dc, hp, bt, 2, hoisted=True)
+            <= pk._vmem_limit() - pk._vmem_budget())
+
+    # A pathological input dim blows the fixed (weight) VMEM footprint and
+    # must be rejected -> graceful scan fallback (old dc=64 gate said yes).
+    assert not pk.fits_pallas(256, 1024, H=100, D=20000)
+    # Standard config-3 shape still passes.
+    assert pk.fits_pallas(256, 1024, H=100, D=48)

@@ -329,9 +329,13 @@ def augment_lines(key, x, lengths, strength: float = 1.0):
 
     Distortions at strength 1.0: per-line amplitude scale U(0.8, 1.2),
     additive gaussian pixel noise (std 0.05), per-line time shift
-    U{-4..4} frames and height shift U{-2..2} rows (prepared lines carry
-    16 blank pad frames, so small shifts never clip ink). Padded frames
-    are re-zeroed afterwards, preserving the padding invariants.
+    U{-4..4} frames and height shift U{-2..2} rows. Shifts are true
+    translations with zero fill (NOT circular rolls — a roll would wrap
+    boundary content to the opposite edge). Prepared lines carry 16 blank
+    pad frames, so time shifts never clip ink; a height shift can clip
+    1-2 edge rows of extreme ascenders/descenders, which is intended
+    distortion, not wraparound. Padded frames are re-zeroed afterwards,
+    preserving the padding invariants.
     """
     B, T, H = x.shape
     k1, k2, k3, k4 = jax.random.split(key, 4)
@@ -343,10 +347,14 @@ def augment_lines(key, x, lengths, strength: float = 1.0):
     max_h = max(int(round(2 * strength)), 0)
     sh_t = jax.random.randint(k3, (B,), -max_t, max_t + 1)
     sh_h = jax.random.randint(k4, (B,), -max_h, max_h + 1)
-    t_idx = (jnp.arange(T)[None, :] - sh_t[:, None]) % T          # [B, T]
-    h_idx = (jnp.arange(H)[None, :] - sh_h[:, None]) % H          # [B, H]
-    y = jnp.take_along_axis(x, t_idx[:, :, None], axis=1)
-    y = jnp.take_along_axis(y, h_idx[:, None, :], axis=2)
+    t_src = jnp.arange(T)[None, :] - sh_t[:, None]                # [B, T]
+    h_src = jnp.arange(H)[None, :] - sh_h[:, None]                # [B, H]
+    t_ok = (t_src >= 0) & (t_src < T)
+    h_ok = (h_src >= 0) & (h_src < H)
+    y = jnp.take_along_axis(x, jnp.clip(t_src, 0, T - 1)[:, :, None], axis=1)
+    y = jnp.where(t_ok[:, :, None], y, 0.0)
+    y = jnp.take_along_axis(y, jnp.clip(h_src, 0, H - 1)[:, None, :], axis=2)
+    y = jnp.where(h_ok[:, None, :], y, 0.0)
 
     mask = (jnp.arange(T)[None, :] < lengths[:, None])[:, :, None]
     y = jnp.clip(y * amp + noise, 0.0, 1.5)

@@ -165,3 +165,26 @@ def test_train_step_with_augment_runs():
     # different step counters -> different augmentation -> different loss
     assert float(m1["loss"]) != float(m2["loss"])
     assert np.isfinite(float(m2["loss"]))
+
+
+def test_augment_shifts_translate_without_wraparound():
+    """Shifts are zero-fill translations: content at one boundary must
+    never reappear at the opposite boundary (regression: circular rolls
+    wrapped end-of-line ink to the start for bucket-length lines)."""
+    import jax
+    import jax.numpy as jnp
+    from clstm_tpu.ops.preprocess import augment_lines
+
+    T, H = 32, 16
+    x = np.zeros((1, T, H), np.float32)
+    x[0, T - 1, H - 1] = 1.0  # impulse at the far time/height corner
+    xj = jnp.asarray(x)
+    lengths = jnp.asarray(np.array([T], np.int32))
+    for seed in range(32):
+        y = np.asarray(augment_lines(jax.random.PRNGKey(seed), xj, lengths,
+                                     strength=1.0))
+        # Noise floor is 0.05-std gaussian; the impulse is 1.0 (scaled
+        # 0.8-1.2). Anything >0.5 in the first frames/rows would be ink
+        # wrapped around a boundary.
+        assert y[0, :8, :].max() < 0.5, f"time wraparound at seed {seed}"
+        assert y[0, :, :8].max() < 0.5, f"height wraparound at seed {seed}"

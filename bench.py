@@ -1,7 +1,16 @@
 """Benchmark harness: UW3-profile BIDILSTM-CTC training throughput.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "lines/sec", "vs_baseline": N/proxy}
+  {"metric": ..., "value": N, "unit": "lines/sec", "vs_baseline": N/proxy,
+   "ms_per_step": ..., "model_tflops_per_step": ..., "pct_peak_bf16": ...,
+   "e2e": {...}, "dp1": {...}}
+
+The headline metric/value is the resident-batch device-step rate; the same
+line carries the end-to-end CLI rate ("e2e" — the north-star train metric
+through the real clstmocrtrain hot loop) and the shard_map-1-device mesh
+overhead guard ("dp1", ratio target >0.95), plus ms/step + an analytic
+model-FLOPs estimate and % of the chip's bf16 peak so "fast" stays
+calibrated as shapes change (round-2 verdict items 3/10).
 
 Profile matches BASELINE.json's north-star config: bidi LSTM (nhidden=100
 per direction), target_height=48, ~900-frame lines (bucketed to 1024),
@@ -15,16 +24,19 @@ Extra env knobs: bench_batch=256 bench_T=1024 bench_steps=20 bench_bf16=0
 bench_net=bidi bench_nhidden=100 bench_nclasses=96 (set net=bidi2
 nhidden=200 nclasses=400 for the config-4 deep large-alphabet profile).
 
-bench_mode selects the metric (default "device"):
-  device  resident-batch device-step rate (kernel metric, the headline)
-  e2e     END-TO-END clstmocrtrain rate: the real CLI hot loop — host
-          batching (make_batches/pad_batch_rows), H2D transfer, jitted
-          step, periodic report decode — on a synthetic UW3-shaped
-          dataset (north-star metric; reference hot path
-          clstmocrtrain.cc ≈L100)
+bench_mode selects what runs (default "all"):
+  all     device-step headline + e2e + dp1 in ONE JSON line
+  device  resident-batch device-step rate only (kernel metric)
+  e2e     END-TO-END clstmocrtrain rate only: the real CLI hot loop — host
+          batching, device cache, jitted step, periodic report decode — on
+          a synthetic UW3-shaped dataset (north-star metric; reference hot
+          path clstmocrtrain.cc ≈L100). Prepared lines are cached as .npy
+          in bench_e2e_dir so repeat runs skip host preprocessing.
   dp1     shard_map 1-device DP step vs the plain step: reports the DP
-          step's rate; vs_baseline is the plain-step rate ratio (mesh-path
+          step's rate; vs_baseline is the DP/plain rate ratio (mesh-path
           overhead regression guard — target >0.95)
+  dp8     8-way DP e2e clstmocrtrain rate on the virtual CPU mesh (CPU
+          correctness/wiring check, not a TPU perf number)
 """
 
 from __future__ import annotations
@@ -55,43 +67,92 @@ def get_baseline() -> float:
     return rate
 
 
-def bench_e2e() -> int:
+# Dense bf16 peak TFLOP/s per chip by device kind (public spec sheets).
+_PEAK_BF16 = {"v4": 275e12, "v5lite": 197e12, "v5e": 197e12,
+              "v5p": 459e12, "v6lite": 918e12, "v6e": 918e12}
+
+
+def _chip_peak_flops():
+    import jax
+    dev = jax.devices()[0]
+    if dev.platform != "tpu":
+        return None
+    kind = dev.device_kind.lower().replace(" ", "")
+    for k, v in _PEAK_BF16.items():
+        if k in kind:
+            return v
+    return None
+
+
+def _train_step_flops(B: int, true_T: int, H: int, D: int, C: int,
+                      layers: int = 1) -> float:
+    """Analytic model-FLOPs estimate for one CTC train step.
+
+    Forward matmul MACs per timestep per direction: gates 4H*(D+1+H);
+    softmax head C*(2H+1) per timestep. Backward ~2x forward (dx + dw
+    products). CTC DP and elementwise work excluded — this is the
+    MXU-relevant floor, good for an order-of-magnitude MFU."""
+    per_t = 0.0
+    d = D
+    for _ in range(layers):
+        per_t += 2 * (4 * H * (d + 1 + H))   # both directions
+        d = 2 * H                            # next stacked layer input
+    per_t += C * (d + 1)
+    return 2.0 * 3.0 * B * true_T * per_t    # MACs->FLOPs x (fwd + 2x bwd)
+
+
+def bench_e2e() -> dict:
     """End-to-end clstmocrtrain throughput on a synthetic UW3-shaped
     dataset: the EXACT CLI hot loop (clstm_tpu/cli/clstmocrtrain.py
     main()), timed over steady-state epochs after a warmup epoch."""
-    import time
-
     import numpy as np
 
-    from clstm_tpu.cli.clstmocrtrain import evaluate  # noqa: F401 (import check)
     from clstm_tpu.data.dataset import OcrDataset, make_batches, pad_batch_rows
     from clstm_tpu.data.device_cache import DeviceDataset
     from clstm_tpu.data.lines import LineGenerator, make_dataset_dir
+    from clstm_tpu.models.codec import Codec
     from clstm_tpu.models.hl import CLSTMOCR
     from clstm_tpu.ops.ctc import decode_frames
 
     B = int(os.environ.get("bench_batch", 256))
-    nlines = int(os.environ.get("bench_e2e_lines", 2048))
-    epochs = int(os.environ.get("bench_e2e_epochs", 3))
+    nlines = int(os.environ.get("bench_e2e_lines", 1024))
+    epochs = int(os.environ.get("bench_e2e_epochs", 1))
     report_every = int(os.environ.get("report_every", 500))
     work = os.environ.get("bench_e2e_dir", "/tmp/clstm_bench_e2e")
 
-    manifest = os.path.join(work, "train.files")
-    if not os.path.exists(manifest):
-        os.makedirs(work, exist_ok=True)
-        gen = LineGenerator(seed=0)
-        texts = [gen.random_sentence() for _ in range(nlines)]
-        m = make_dataset_dir(os.path.join(work, "train"), nlines, gen=gen,
-                             texts=texts)
-        with open(manifest, "w") as f:
-            f.write(open(m).read())
+    # Prepared-corpus cache: rendering + host normalization of the corpus
+    # is a one-time cost; repeat runs (and the driver's audit run) load
+    # .npy blobs instead (keeps the whole bench ~2-3 min on the tunneled
+    # chip — round-2 verdict item 3).
+    cache = os.path.join(work, f"prepared_{nlines}.npz")
+    if os.path.exists(cache):
+        blob = np.load(cache, allow_pickle=True)
+        samples = list(zip(blob["xs"], blob["texts"]))
+        codec = Codec(list(blob["codec"]))
+    else:
+        manifest = os.path.join(work, "train.files")
+        if not os.path.exists(manifest):
+            os.makedirs(work, exist_ok=True)
+            gen = LineGenerator(seed=0)
+            texts = [gen.random_sentence() for _ in range(nlines)]
+            m = make_dataset_dir(os.path.join(work, "train"), nlines, gen=gen,
+                                 texts=texts)
+            with open(manifest, "w") as f:
+                f.write(open(m).read())
+        ds = OcrDataset(manifest, target_height=48, dewarp="center")
+        codec = ds.build_codec()
+        samples = ds.load_all()
+        try:
+            np.savez(cache,
+                     xs=np.array([x for x, _ in samples], dtype=object),
+                     texts=np.array([t for _, t in samples], dtype=object),
+                     codec=np.array(codec.codec, np.int64))
+        except OSError:
+            pass
 
-    ds = OcrDataset(manifest, target_height=48, dewarp="center")
-    codec = ds.build_codec()
     ocr = CLSTMOCR(target_height=48, dewarp="center")
     ocr.createBidi(codec, 100, kind="bidi", seed=0)
     ocr.setLearningRate(1e-4, 0.9)
-    samples = ds.load_all()
 
     rng = np.random.RandomState(0)
     stream = os.environ.get("bench_e2e_stream", "0") not in ("0", "")
@@ -131,21 +192,18 @@ def bench_e2e() -> int:
     for _ in range(epochs):
         total += one_epoch(report=True)
     rate = total / (time.time() - t0)
-    print(json.dumps({
+    return {
         "metric": "uw3_clstmocrtrain_e2e_train_lines_per_sec_per_chip",
         "value": round(rate, 2),
         "unit": "lines/sec",
         "vs_baseline": round(rate / get_baseline(), 2),
-    }))
-    return 0
+    }
 
 
-def bench_dp1() -> int:
+def bench_dp1() -> dict:
     """shard_map 1-device DP step vs the plain jitted step: regression
     guard for mesh-path overhead (VERDICT round-1 item 10). vs_baseline is
     the DP/plain rate ratio — keep it >0.95."""
-    import time
-
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -196,22 +254,58 @@ def bench_dp1() -> int:
     mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
     dp = rate_of(make_parallel_train_step(spec, mesh, lr=1e-4, momentum=0.9,
                                           loss_kind="ctc"))
-    print(json.dumps({
+    return {
         "metric": "dp_shardmap1_vs_plain_train_lines_per_sec",
         "value": round(dp, 2),
         "unit": "lines/sec",
         "vs_baseline": round(dp / plain, 4),
-    }))
-    return 0
+    }
 
 
-def main() -> int:
-    mode = os.environ.get("bench_mode", "device")
-    if mode == "e2e":
-        return bench_e2e()
-    if mode == "dp1":
-        return bench_dp1()
+def bench_dp8() -> dict:
+    """8-way DP clstmocrtrain e2e on the virtual CPU mesh: exercises the
+    full product path (CLI mesh wiring + sharded DeviceDataset + psum
+    step). A wiring/correctness check — CPU rates are not TPU numbers."""
+    import subprocess
+    import tempfile
 
+    env = dict(os.environ)
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": (env.get("XLA_FLAGS", "")
+                      + " --xla_force_host_platform_device_count=8").strip(),
+    })
+    with tempfile.TemporaryDirectory() as td:
+        code = (
+            "import jax; jax.config.update('jax_platforms','cpu')\n"
+            "import sys, time, numpy as np\n"
+            "from clstm_tpu.data.lines import LineGenerator, make_dataset_dir\n"
+            "gen = LineGenerator(seed=0)\n"
+            "texts=[gen.random_sentence() for _ in range(64)]\n"
+            f"m=make_dataset_dir('{td}/train', 64, gen=gen, texts=texts)\n"
+            "import os\n"
+            "os.environ.update(save_name='" + td + "/m', ntrain='256',"
+            " lrate='1e-4', batch_size='32', report_every='128',"
+            " test_every='10000', save_every='10000', mesh='8')\n"
+            "from clstm_tpu.cli import clstmocrtrain\n"
+            "t0=time.time(); clstmocrtrain.main([m]);"
+            " print('DP8RATE', 256/(time.time()-t0))\n")
+        out = subprocess.run([sys.executable, "-c", code], env=env,
+                             capture_output=True, text=True, timeout=1200)
+        rate = 0.0
+        for ln in out.stdout.splitlines():
+            if ln.startswith("DP8RATE"):
+                rate = float(ln.split()[1])
+        ok = "data-parallel over 8 devices" in out.stdout and rate > 0
+        return {
+            "metric": "dp8_virtual_mesh_clstmocrtrain_lines_per_sec_cpu",
+            "value": round(rate, 2),
+            "unit": "lines/sec (cpu)",
+            "ok": ok,
+        }
+
+
+def bench_device() -> dict:
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -262,17 +356,50 @@ def main() -> int:
     float(m["loss"])
     dt = time.time() - t0
     rate = steps * B / dt
+    ms_per_step = 1e3 * dt / steps
 
     baseline = get_baseline()
     metric = "uw3_bidilstm_ctc_train_lines_per_sec_per_chip"
     if (net, nhidden, nclasses) != ("bidi", 100, 96):
         metric = f"{net}_nh{nhidden}_nc{nclasses}_ctc_train_lines_per_sec_per_chip"
-    print(json.dumps({
+    layers = 2 if net == "bidi2" else 1
+    flops = _train_step_flops(B, true_T, nhidden, height, nclasses, layers)
+    out = {
         "metric": metric,
         "value": round(rate, 2),
         "unit": "lines/sec",
         "vs_baseline": round(rate / baseline, 2),
-    }))
+        "ms_per_step": round(ms_per_step, 2),
+        "model_tflops_per_step": round(flops / 1e12, 4),
+    }
+    peak = _chip_peak_flops()
+    if peak:
+        out["pct_peak_bf16"] = round(100.0 * (flops / (dt / steps)) / peak, 2)
+    return out
+
+
+def main() -> int:
+    mode = os.environ.get("bench_mode", "all")
+    if mode == "e2e":
+        print(json.dumps(bench_e2e()))
+        return 0
+    if mode == "dp1":
+        print(json.dumps(bench_dp1()))
+        return 0
+    if mode == "dp8":
+        print(json.dumps(bench_dp8()))
+        return 0
+    result = bench_device()
+    if mode == "all":
+        # One line, all three driver-audited metrics (round-2 verdict
+        # item 4): e2e + dp1 ride along as nested objects; a failure in
+        # either must not lose the headline.
+        for name, fn in (("e2e", bench_e2e), ("dp1", bench_dp1)):
+            try:
+                result[name] = fn()
+            except Exception as e:  # pragma: no cover - defensive
+                result[name] = {"error": f"{type(e).__name__}: {e}"}
+    print(json.dumps(result))
     return 0
 
 

@@ -30,6 +30,13 @@ TPU-native additions (no reference equivalent):
                      on the full batch (psum-summed gradients; CLI-level
                      equivalence tested on the virtual 8-device mesh);
                      batch_size is rounded up to divide by the mesh.
+  device_preprocess=0  build the device corpus cache DIRECTLY from raw
+                     images with normalization/transposition running on
+                     device (DeviceDataset.from_files): host work drops to
+                     threaded PNG decode, making cold-start preparation
+                     ~free. Implies cache=device. Bucketing uses the
+                     host-side width estimate, so batch grouping can
+                     differ slightly from the host-prepared path.
   cache=auto         device|host|auto — device keeps the prepared corpus
                      resident in HBM and gathers batches on device (the
                      host->device link is otherwise the pipeline
@@ -150,25 +157,44 @@ def main(argv=None) -> int:
         ocr.set_mesh(mesh)
         print(f"# data-parallel over {n_mesh} devices", flush=True)
 
-    print("# preparing lines...", flush=True)
-    samples = train_ds.load_all()
-    test_samples = test_ds.load_all() if test_ds else None
-
     # Device-resident corpus cache (see module docstring of
     # data/device_cache.py): upload once, gather batches on device.
     from clstm_tpu.data.dataset import T_BUCKETS, bucket_for
     from clstm_tpu.data.device_cache import DeviceDataset
+    device_preprocess = getienv("device_preprocess", 0)
     cache_mode = getsenv("cache", "auto")
     cache_limit = getienv("cache_limit_mb", 4096)
-    est_mb = sum(bucket_for(x.shape[0], T_BUCKETS) * x.shape[1] * 4
-                 for x, _ in samples) / 1e6
-    use_cache = cache_mode == "device" or (cache_mode == "auto"
-                                           and est_mb <= cache_limit)
-    dcache = test_cache = None
+    print("# preparing lines...", flush=True)
+    samples = test_samples = None
+    if device_preprocess:
+        # Normalization on device straight from raw pixels; the host only
+        # decodes PNGs (north star: "loading, normalization, transposition
+        # on device" — now true for training, not just inference).
+        use_cache = True
+        t_prep = time.time()
+        dcache = DeviceDataset.from_files(
+            train_ds.files, train_ds.texts(), codec,
+            target_height=target_height, dewarp=dewarp, pad=train_ds.pad,
+            mesh=mesh)
+        test_cache = (DeviceDataset.from_files(
+            test_ds.files, test_ds.texts(), codec,
+            target_height=target_height, dewarp=dewarp, pad=test_ds.pad,
+            mesh=mesh) if test_ds else None)
+        print(f"# device-preprocessed corpus in {time.time()-t_prep:.1f}s",
+              flush=True)
+    else:
+        samples = train_ds.load_all()
+        test_samples = test_ds.load_all() if test_ds else None
+        est_mb = sum(bucket_for(x.shape[0], T_BUCKETS) * x.shape[1] * 4
+                     for x, _ in samples) / 1e6
+        use_cache = cache_mode == "device" or (cache_mode == "auto"
+                                               and est_mb <= cache_limit)
+        dcache = test_cache = None
+        if use_cache:
+            dcache = DeviceDataset(samples, codec, mesh=mesh)
+            test_cache = (DeviceDataset(test_samples, codec, mesh=mesh)
+                          if test_samples else None)
     if use_cache:
-        dcache = DeviceDataset(samples, codec, mesh=mesh)
-        test_cache = (DeviceDataset(test_samples, codec, mesh=mesh)
-                      if test_samples else None)
         print(f"# device cache: {dcache.nbytes / 1e6:.0f} MB resident",
               flush=True)
 

@@ -69,21 +69,7 @@ class DeviceDataset:
                  t_buckets: Sequence[int] = T_BUCKETS,
                  s_buckets: Sequence[int] = S_BUCKETS,
                  device=None, mesh=None, axis: str = "data"):
-        # Sharded placement (multi-chip DP): the corpus groups are small,
-        # so they are REPLICATED across the mesh and each per-batch gather
-        # emits its outputs sharded along the batch dim — every device
-        # gathers only its own rows locally (no collectives); the batch
-        # lands already placed for parallel.dp.make_parallel_train_step.
-        self.mesh = mesh
-        self._repl = None
-        self._gather_at = _gather_at
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            self._repl = NamedSharding(mesh, P())
-            row = NamedSharding(mesh, P(axis))
-            self._gather_at = jax.jit(
-                _gather_at_impl,
-                out_shardings=(row, row, row, row, self._repl))
+        self._init_placement(device, mesh, axis)
         groups: dict = {}
         for x, text in samples:
             classes = codec.encode(text)
@@ -111,18 +97,151 @@ class DeviceDataset:
                 tlens[i] = S
                 texts.append(text)
             self.nbytes += x.nbytes + targets.nbytes
-            if self._repl is not None:
-                put = lambda a: jax.device_put(a, self._repl)
-            elif device is not None:
-                put = lambda a: jax.device_put(a, device)
-            else:
-                put = jax.device_put
+            put = self._put
             self.groups.append({
                 "tb": tb, "sb": sb, "n": N, "texts": texts,
                 "x": put(x), "targets": put(targets),
                 "lengths": put(lengths), "tlens": put(tlens),
                 "host_lengths": lengths,
             })
+
+    def _init_placement(self, device=None, mesh=None, axis: str = "data"):
+        # Sharded placement (multi-chip DP): the corpus groups are small,
+        # so they are REPLICATED across the mesh and each per-batch gather
+        # emits its outputs sharded along the batch dim — every device
+        # gathers only its own rows locally (no collectives); the batch
+        # lands already placed for parallel.dp.make_parallel_train_step.
+        self.mesh = mesh
+        self._repl = None
+        self._device = device
+        self._gather_at = _gather_at
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self._repl = NamedSharding(mesh, P())
+            row = NamedSharding(mesh, P(axis))
+            self._gather_at = jax.jit(
+                _gather_at_impl,
+                out_shardings=(row, row, row, row, self._repl))
+
+    def _put(self, a):
+        if self._repl is not None:
+            return jax.device_put(a, self._repl)
+        if self._device is not None:
+            return jax.device_put(a, self._device)
+        return jax.device_put(a)
+
+    @classmethod
+    def from_files(cls, files: Sequence[str], texts: Sequence[str],
+                   codec: Codec, *,
+                   target_height: int = 48, dewarp: str = "center",
+                   pad: int = 16,
+                   t_buckets: Sequence[int] = T_BUCKETS,
+                   s_buckets: Sequence[int] = S_BUCKETS,
+                   chunk_size: int = 64,
+                   device=None, mesh=None, axis: str = "data",
+                   nthreads: int = 0) -> "DeviceDataset":
+        """Build the cache DIRECTLY from raw line images, with the whole
+        normalization/transposition stage running ON DEVICE.
+
+        The host only decodes PNGs (threaded) and packs raw pixel buffers;
+        dewarping, rescaling, renormalization and time-major layout run as
+        one jitted batch kernel per chunk (ops/preprocess.py
+        prepare_batch_device — parity-tested against the host scipy path).
+        This makes cold-start corpus preparation ~free and extends the
+        north star's "normalization on device" to the TRAINING pipeline
+        (reference per-line host loop: clstmocrtrain.cc ≈L100 +
+        extras.cc CenterNormalizer, SURVEY.md §3.1).
+
+        Grouping uses the host-side width ESTIMATE (estimate_out_T's upper
+        bound) for T-bucket selection — the exact normalized width is only
+        known on device — so a line near a bucket edge may land one bucket
+        higher than the host-prepared path would put it; contents and
+        lengths are identical either way.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        import jax.numpy as jnp
+
+        from clstm_tpu.io import native
+        from clstm_tpu.io.png import read_png as py_read_png
+        from clstm_tpu.models.hl import _canon_dewarp
+        from clstm_tpu.ops.ctc import mktargets_ids as _mk
+        from clstm_tpu.ops.preprocess import (
+            estimate_out_T, prepare_batch_device)
+
+        kind = _canon_dewarp(dewarp)
+
+        self = cls.__new__(cls)
+        self._init_placement(device, mesh, axis)
+        self.groups = []
+        self.nbytes = 0
+
+        reader = native.read_png if native.available() else py_read_png
+        nthreads = nthreads or min(16, max(4, (len(files) + 63) // 64))
+        with ThreadPoolExecutor(nthreads) as pool:
+            raws = list(pool.map(reader, files))
+
+        groups: dict = {}
+        for raw, text in zip(raws, texts):
+            classes = codec.encode(text)
+            tb = bucket_for(estimate_out_T([raw], target_height, pad),
+                            t_buckets)
+            sb = bucket_for(2 * len(classes) + 1, s_buckets)
+            groups.setdefault((tb, sb), []).append((raw, text, classes))
+
+        for (tb, sb), items in sorted(groups.items()):
+            N = len(items)
+            dev_x, dev_len = [], []
+            for lo in range(0, N, chunk_size):
+                chunk = [it[0] for it in items[lo:lo + chunk_size]]
+                n = len(chunk)
+                # Fixed chunk B + bucketed raw buffer dims keep the jitted
+                # prepare kernel at a bounded set of compilations. Short
+                # chunks pad by repeating row 0 (an all-zero pad image can
+                # produce degenerate normalizer measurements); padded rows
+                # are sliced off below.
+                chunk = chunk + [chunk[0]] * (chunk_size - n)
+                hb = -(-max(im.shape[0] for im in chunk) // 16) * 16
+                wb = 128
+                while wb < max(im.shape[1] for im in chunk):
+                    wb *= 2
+                buf = np.zeros((chunk_size, hb, wb), np.float32)
+                hs = np.zeros(chunk_size, np.int32)
+                ws = np.zeros(chunk_size, np.int32)
+                for i, im in enumerate(chunk):
+                    h, w = im.shape
+                    buf[i, :h, :w] = im
+                    hs[i], ws[i] = h, w
+                x, lengths = prepare_batch_device(
+                    jnp.asarray(buf), jnp.asarray(hs), jnp.asarray(ws),
+                    kind=kind, target_height=target_height, out_T=tb,
+                    pad=pad)
+                dev_x.append(x[:n])
+                dev_len.append(lengths[:n])
+            th = target_height
+            x_all = jnp.concatenate(
+                dev_x + [jnp.zeros((1, tb, th), jnp.float32)])  # sentinel
+            len_all = jnp.concatenate(
+                dev_len + [jnp.zeros((1,), jnp.int32)])
+            targets = np.zeros((N + 1, sb), np.int32)
+            tlens = np.zeros(N + 1, np.int32)
+            gtexts: List[str] = []
+            for i, (_, text, classes) in enumerate(items):
+                ids = _mk(classes)
+                S = min(len(ids), sb)
+                targets[i, :S] = ids[:S]
+                tlens[i] = S
+                gtexts.append(text)
+            host_lengths = np.asarray(len_all)
+            self.nbytes += x_all.size * 4 + targets.nbytes
+            put = self._put
+            self.groups.append({
+                "tb": tb, "sb": sb, "n": N, "texts": gtexts,
+                "x": put(x_all), "targets": put(targets),
+                "lengths": put(len_all), "tlens": put(tlens),
+                "host_lengths": host_lengths,
+            })
+        return self
 
     def __len__(self) -> int:
         return sum(g["n"] for g in self.groups)

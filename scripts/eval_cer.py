@@ -11,7 +11,12 @@ config-3 record (fresh held-out set, not the training-time test set).
 from __future__ import annotations
 
 import json
+import os
 import sys
+
+# Runnable as `python scripts/eval_cer.py` from anywhere: `python file.py`
+# puts the script's dir (scripts/) on sys.path, not the repo root.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from clstm_tpu.cli.clstmocrtrain import evaluate
 from clstm_tpu.data.dataset import OcrDataset

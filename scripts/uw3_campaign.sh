@@ -34,8 +34,15 @@ print("# datasets ready")
 EOF
 fi
 
+done_already () {  # name -> 0 if the run finished in a previous session
+    [ -f "$OUT/$1.log" ] && grep -q "^# done:" "$OUT/$1.log"
+}
+
 stage1 () {  # name augment
     local name="$1" aug="$2"
+    if done_already "$name"; then
+        echo "=== stage1 $name already done, skipping ==="; return 0
+    fi
     echo "=== stage1 $name (augment=$aug) ==="
     save_name="$WORK/$name" ntrain=1000000 lrate=2e-4 nhidden=100 \
     batch_size=32 gradient_clip=10 initial=0.1 target_height=48 \
@@ -48,6 +55,9 @@ stage1 () {  # name augment
 
 stage2 () {  # name load_from augment
     local name="$1" from="$2" aug="$3"
+    if done_already "$name"; then
+        echo "=== stage2 $name already done, skipping ==="; return 0
+    fi
     echo "=== stage2 $name (load=$from augment=$aug) ==="
     save_name="$WORK/$name" load="$WORK/$from.clstm" ntrain=1000000 \
     lrate=5e-5 batch_size=32 gradient_clip=10 target_height=48 \
@@ -59,6 +69,9 @@ stage2 () {  # name load_from augment
 }
 
 fresh_eval () {  # name
+    if [ -f "$OUT/eval.jsonl" ] && grep -q "/$1.clstm" "$OUT/eval.jsonl"; then
+        echo "--- fresh eval $1 already recorded ---"; return 0
+    fi
     echo "--- fresh eval $1 ---"
     python scripts/eval_cer.py "$WORK/$1.clstm" "$WORK/fresh.files" 50 \
         >> "$OUT/eval.jsonl" 2>"$OUT/eval-$1.err" || cat "$OUT/eval-$1.err"

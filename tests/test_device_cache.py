@@ -89,3 +89,71 @@ def test_evaluate_matches_streaming_path():
     err_host = evaluate(ocr, samples, codec, 4)
     err_dev = evaluate(ocr, DeviceDataset(samples, codec), codec, 4)
     assert err_host == pytest.approx(err_dev, abs=1e-9)
+
+
+def test_from_files_matches_host_prepared_cache(tmp_path):
+    """DeviceDataset.from_files (raw pixels in, normalization ON DEVICE)
+    must produce the same corpus as DeviceDataset(host-prepared samples):
+    identical targets/lengths per line and essentially identical strips
+    (the preprocess parity envelope: rare +-1px width drift allowed)."""
+    from clstm_tpu.data.dataset import OcrDataset
+    from clstm_tpu.data.lines import LineGenerator, make_dataset_dir
+
+    gen = LineGenerator(seed=11)
+    texts = [gen.random_sentence() for _ in range(12)]
+    manifest = make_dataset_dir(str(tmp_path / "lines"), 12, gen=gen,
+                                texts=texts)
+    ds = OcrDataset(manifest, target_height=32, dewarp="center")
+    codec = ds.build_codec()
+    host = DeviceDataset(ds.load_all(), codec)
+    dev = DeviceDataset.from_files(ds.files, ds.texts(), codec,
+                                   target_height=32, dewarp="center",
+                                   pad=ds.pad, chunk_size=5)
+    assert len(dev) == len(host) == 12
+
+    def rows(cache):
+        out = {}
+        for g in cache.groups:
+            x = np.asarray(g["x"])
+            for i, t in enumerate(g["texts"]):
+                out[t] = (x[i], int(g["host_lengths"][i]),
+                          np.asarray(g["targets"])[i], int(
+                              np.asarray(g["tlens"])[i]), g["sb"])
+        return out
+
+    h, d = rows(host), rows(dev)
+    assert set(h) == set(d)
+    width_mismatch = 0
+    diffs = []
+    for t in h:
+        xh, lh, th_, sh, sbh = h[t]
+        xd, ld, td, sd, sbd = d[t]
+        assert sbh == sbd and sh == sd
+        np.testing.assert_array_equal(th_[:sh], td[:sd])
+        if lh != ld:
+            width_mismatch += 1
+            continue
+        diffs.append(np.abs(xd[:ld] - xh[:lh]).mean())
+        assert np.all(xd[ld:] == 0.0)
+    assert width_mismatch <= 1, f"{width_mismatch}/12 width mismatches"
+    assert np.mean(diffs) < 2e-4, np.mean(diffs)
+
+
+def test_from_files_trains_through_cli(tmp_path, monkeypatch):
+    """device_preprocess=1 drives the full clstmocrtrain path end-to-end."""
+    from clstm_tpu.cli import clstmocrtrain
+    from clstm_tpu.data.lines import LineGenerator, make_dataset_dir
+
+    gen = LineGenerator(seed=12)
+    texts = [gen.random_sentence() for _ in range(8)]
+    manifest = make_dataset_dir(str(tmp_path / "lines"), 8, gen=gen,
+                                texts=texts)
+    env = {"save_name": str(tmp_path / "m"), "ntrain": "16",
+           "lrate": "1e-3", "nhidden": "8", "report_every": "8",
+           "save_every": "100", "test_every": "8", "target_height": "24",
+           "batch_size": "4", "randseed": "0", "device_preprocess": "1",
+           "mesh": "1"}
+    for k, v in env.items():
+        monkeypatch.setenv(k, v)
+    assert clstmocrtrain.main([manifest, manifest]) == 0
+    assert (tmp_path / "m-last.clstm").exists()

@@ -33,6 +33,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from clstm_tpu.ops.pallas_lstm import _vmem_limit
+
 NEG = -1e30
 
 
@@ -191,7 +193,7 @@ def _bwd_call(lmatch, lr, lengths, target_lengths, *, skip, b_tile, t_chunk,
         scratch_shapes=[pltpu.VMEM((b_tile, S), jnp.float32)] * 3,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=96 * 1024 * 1024,
+            vmem_limit_bytes=_vmem_limit(),
         ),
         interpret=interpret,
     )(lmatch, lr, len_bc, tlen_bc)
@@ -268,7 +270,7 @@ def ctc_forward_pallas(lmatch: jax.Array, lengths: jax.Array, *,
         scratch_shapes=[pltpu.VMEM((b_tile, S), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=96 * 1024 * 1024,
+            vmem_limit_bytes=_vmem_limit(),
         ),
         interpret=interpret,
     )(lmatch)

@@ -133,6 +133,12 @@ class ApplyCtx:
     compute_dtype: object = None  # e.g. jnp.bfloat16 for matmuls
     fuse_bidi: bool = True      # one-scan execution of the bidi idiom
     use_pallas: object = None   # None = auto (TPU backend, dims fit)
+    input_is_leaf: bool = False  # this layer's input is the NETWORK input
+                                 # AND the caller never differentiates
+                                 # w.r.t. it (training data): fused kernels
+                                 # may skip the dx cotangent. Opt-in from
+                                 # the train losses; False keeps apply_net
+                                 # fully differentiable in x.
 
 
 def init_net(spec: NetSpec, key: jax.Array) -> dict:
@@ -149,7 +155,7 @@ def init_net(spec: NetSpec, key: jax.Array) -> dict:
 def apply_net(spec: NetSpec, params: dict, x: jax.Array,
               lengths: Optional[jax.Array] = None, *,
               logits: bool = False, compute_dtype=None,
-              fuse_bidi: bool = True) -> jax.Array:
+              fuse_bidi: bool = True, input_is_leaf: bool = False) -> jax.Array:
     """Pure forward pass: [B, T, D] right-padded batch -> [B, T, O].
 
     ``logits=True`` makes the outermost SoftmaxLayer return pre-softmax
@@ -160,7 +166,7 @@ def apply_net(spec: NetSpec, params: dict, x: jax.Array,
     (used to test its equivalence to the literal combinator semantics).
     """
     ctx = ApplyCtx(logits=logits, compute_dtype=compute_dtype,
-                   fuse_bidi=fuse_bidi)
+                   fuse_bidi=fuse_bidi, input_is_leaf=input_is_leaf)
     return _apply(spec, params, x, lengths, ctx)
 
 
@@ -289,7 +295,9 @@ def _no_weights(spec, key):
 def _stacked_apply(spec, params, x, lengths, ctx):
     n = len(spec.sub)
     for i, (s, p) in enumerate(zip(spec.sub, params["sub"])):
-        sub_ctx = ctx if i == n - 1 else dataclasses.replace(ctx, logits=False)
+        sub_ctx = dataclasses.replace(
+            ctx, logits=ctx.logits and i == n - 1,
+            input_is_leaf=ctx.input_is_leaf and i == 0)
         x = _apply(s, p, x, lengths, sub_ctx)
     return x
 
@@ -344,7 +352,11 @@ def _parallel_apply(spec, params, x, lengths, ctx):
                 _warn_pallas_fallback(B, T, H)
         if use_pallas:
             from clstm_tpu.ops.pallas_lstm import bidi_lstm_pallas
-            return bidi_lstm_pallas(pf, pr, x, lengths)
+            # The net's input layer consumes training data: its x-cotangent
+            # has no consumer, and the custom_vjp body is opaque to XLA DCE
+            # — drop the dx work at trace time instead.
+            return bidi_lstm_pallas(pf, pr, x, lengths,
+                                    need_dx=not ctx.input_is_leaf)
         return bidi_lstm_apply(pf, pr, x, lengths,
                                compute_dtype=ctx.compute_dtype)
     sub_ctx = dataclasses.replace(ctx, logits=False)

@@ -288,7 +288,7 @@ def _fwd_kernel(*refs, t_chunk: int, gh: int, T: int, compute_bf16: bool,
 
 
 def _bwd_kernel(*refs, t_chunk: int, gh: int, T: int, compute_bf16: bool,
-                proj_in: bool = False):
+                proj_in: bool = False, need_dx: bool = True):
     """Reverse-grid backward step over one (b_tile, t_chunk) block.
 
     Recomputes gates and c_new from (xcat views, hprev, cprev); carries
@@ -300,19 +300,28 @@ def _bwd_kernel(*refs, t_chunk: int, gh: int, T: int, compute_bf16: bool,
     phantom frames contribute nothing to any gradient.
 
     proj_in=True: xz comes from hoisted streams (refs 3-4); the xcat views
-    are still streamed for the dWf/dWr contractions, and wf/wr drop out."""
+    are still streamed for the dWf/dWr contractions, and wf/wr drop out.
+    need_dx=False (the network's INPUT layer — its dx cotangent has no
+    consumer) drops the wxt operand, the dx output stream and its staging
+    scratch, and skips the dz@wxt matmuls entirely."""
+    refs = list(refs)
     if proj_in:
         (xf_ref, xr_ref, xzf_ref, xzr_ref, len_ref,
-         hprev_ref, cprev_ref, g_ref,
-         wbd_ref, wbdt_ref, wxt_ref,
-         dx_ref, dwf_ref, dwr_ref, dwh_ref,
-         Dh_ref, Dc_ref, dz_ref, xz_ref, hp_s, cp_s, g_s, dx_s,
-         xzf_s, xzr_s) = refs
+         hprev_ref, cprev_ref, g_ref, wbd_ref, wbdt_ref) = refs[:10]
+        refs = refs[10:]
+        wf_ref = wr_ref = None
     else:
         (xf_ref, xr_ref, len_ref, hprev_ref, cprev_ref, g_ref,
-         wf_ref, wr_ref, wbd_ref, wbdt_ref, wxt_ref,
-         dx_ref, dwf_ref, dwr_ref, dwh_ref,
-         Dh_ref, Dc_ref, dz_ref, xz_ref, hp_s, cp_s, g_s, dx_s) = refs
+         wf_ref, wr_ref, wbd_ref, wbdt_ref) = refs[:10]
+        refs = refs[10:]
+    wxt_ref = refs.pop(0) if need_dx else None
+    dx_ref = refs.pop(0) if need_dx else None
+    (dwf_ref, dwr_ref, dwh_ref,
+     Dh_ref, Dc_ref, dz_ref, xz_ref, hp_s, cp_s, g_s) = refs[:10]
+    refs = refs[10:]
+    dx_s = refs.pop(0) if need_dx else None
+    if proj_in:
+        xzf_s, xzr_s = refs
     b_id, tc_id = pl.program_id(0), pl.program_id(1)
     nT = pl.num_programs(1)
     cd = jnp.bfloat16 if compute_bf16 else jnp.float32
@@ -381,19 +390,22 @@ def _bwd_kernel(*refs, t_chunk: int, gh: int, T: int, compute_bf16: bool,
     tdot = functools.partial(
         jax.lax.dot_general, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    wxt = wxt_ref[...].astype(cd)
+    wxt = wxt_ref[...].astype(cd) if need_dx else None
     dwf, dwr, dwh = dwf_ref[...], dwr_ref[...], dwh_ref[...]
     for k in range(t_chunk):
         dzk = dz_ref[k].astype(cd)
         dwf += tdot(xf_ref[:, k, :].astype(cd), dzk)
         dwr += tdot(xr_ref[:, t_chunk - 1 - k, :].astype(cd), dzk)
         dwh += tdot(hp_s[k].astype(cd), dzk)
-        dx_s[k] = jnp.dot(
-            dzk, wxt, preferred_element_type=jnp.float32).astype(dx_s.dtype)
+        if need_dx:
+            dx_s[k] = jnp.dot(dzk, wxt,
+                              preferred_element_type=jnp.float32
+                              ).astype(dx_s.dtype)
     dwf_ref[...] = dwf
     dwr_ref[...] = dwr
     dwh_ref[...] = dwh
-    dx_ref[...] = jnp.transpose(dx_s[...], (1, 0, 2))
+    if need_dx:
+        dx_ref[...] = jnp.transpose(dx_s[...], (1, 0, 2))
 
 
 # ---------------------------------------------------------------------------
@@ -581,10 +593,11 @@ def _call_fwd(xcat, len_bc, wf, wr, wbd, *, b_tile, t_chunk, interpret,
 
 def _call_bwd(xcat, len_bc, hprev, cprev, gseq, wf, wr, wbd, wxt,
               *, b_tile, t_chunk, interpret, compute_bf16, dx_dtype,
-              proj=None):
+              proj=None, need_dx=True):
     """proj=(xzf, xzr) adds the hoisted-projection streams (gate
     recomputation source); the xcat views stay for the dWf/dWr
-    contractions and wf/wr drop out."""
+    contractions and wf/wr drop out. need_dx=False drops the dx output
+    (returned as None) and its in-kernel matmuls/streams."""
     B, T, dc = xcat.shape
     gh = wbd.shape[0]
     dx2 = wxt.shape[1]
@@ -615,11 +628,10 @@ def _call_bwd(xcat, len_bc, hprev, cprev, gseq, wf, wr, wbd, wxt,
             stream, stream, stream,
             const2((gh, 4 * gh)),
             const2((4 * gh, gh)),
-            const2((4 * gh, dx2)),
         ]
-        operands = (xcat, xcat, proj[0], proj[1], len_bc,
+        operands = [xcat, xcat, proj[0], proj[1], len_bc,
                     hprev, cprev, gseq, wbd.astype(wdt),
-                    jnp.swapaxes(wbd, 0, 1).astype(wdt), wxt.astype(wdt))
+                    jnp.swapaxes(wbd, 0, 1).astype(wdt)]
     else:
         in_specs = [
             xspec_f, xspec_r,
@@ -629,46 +641,57 @@ def _call_bwd(xcat, len_bc, hprev, cprev, gseq, wf, wr, wbd, wxt,
             const2((dc, 4 * gh)),
             const2((gh, 4 * gh)),
             const2((4 * gh, gh)),
-            const2((4 * gh, dx2)),
         ]
-        operands = (xcat, xcat, len_bc, hprev, cprev, gseq,
+        operands = [xcat, xcat, len_bc, hprev, cprev, gseq,
                     wf.astype(wdt), wr.astype(wdt), wbd.astype(wdt),
-                    jnp.swapaxes(wbd, 0, 1).astype(wdt), wxt.astype(wdt))
-    return pl.pallas_call(
+                    jnp.swapaxes(wbd, 0, 1).astype(wdt)]
+    out_specs = [
+        const2((dc, 4 * gh)),
+        const2((dc, 4 * gh)),
+        const2((gh, 4 * gh)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((dc, 4 * gh), jnp.float32),
+        jax.ShapeDtypeStruct((dc, 4 * gh), jnp.float32),
+        jax.ShapeDtypeStruct((gh, 4 * gh), jnp.float32),
+    ]
+    if need_dx:
+        in_specs.append(const2((4 * gh, dx2)))
+        operands.append(wxt.astype(wdt))
+        out_specs.insert(0, pl.BlockSpec((b_tile, t_chunk, dx2), rev,
+                                         memory_space=pltpu.VMEM))
+        out_shape.insert(0, jax.ShapeDtypeStruct((B, T, dx2), dx_dtype))
+    scratch = [
+        pltpu.VMEM((b_tile, gh), jnp.float32),
+        pltpu.VMEM((b_tile, gh), jnp.float32),
+        pltpu.VMEM((t_chunk, b_tile, 4 * gh), dz_dt),
+        pltpu.VMEM((t_chunk, b_tile, 4 * gh), jnp.float32),
+        pltpu.VMEM((t_chunk, b_tile, gh), dz_dt),
+        pltpu.VMEM((t_chunk, b_tile, gh), dz_dt),
+        pltpu.VMEM((t_chunk, b_tile, gh), dz_dt),
+    ]
+    if need_dx:
+        scratch.append(pltpu.VMEM((t_chunk, b_tile, dx2), dx_dtype))
+    if proj is not None:
+        scratch += [pltpu.VMEM((t_chunk, b_tile, 4 * (gh // 2)),
+                               proj[0].dtype)] * 2
+    out = pl.pallas_call(
         functools.partial(_bwd_kernel, t_chunk=t_chunk, gh=gh, T=T,
                           compute_bf16=compute_bf16,
-                          proj_in=proj is not None),
+                          proj_in=proj is not None, need_dx=need_dx),
         grid=grid,
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((b_tile, t_chunk, dx2), rev,
-                         memory_space=pltpu.VMEM),
-            const2((dc, 4 * gh)),
-            const2((dc, 4 * gh)),
-            const2((gh, 4 * gh)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, T, dx2), dx_dtype),
-            jax.ShapeDtypeStruct((dc, 4 * gh), jnp.float32),
-            jax.ShapeDtypeStruct((dc, 4 * gh), jnp.float32),
-            jax.ShapeDtypeStruct((gh, 4 * gh), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((b_tile, gh), jnp.float32),
-            pltpu.VMEM((b_tile, gh), jnp.float32),
-            pltpu.VMEM((t_chunk, b_tile, 4 * gh), dz_dt),
-            pltpu.VMEM((t_chunk, b_tile, 4 * gh), jnp.float32),
-            pltpu.VMEM((t_chunk, b_tile, gh), dz_dt),
-            pltpu.VMEM((t_chunk, b_tile, gh), dz_dt),
-            pltpu.VMEM((t_chunk, b_tile, gh), dz_dt),
-            pltpu.VMEM((t_chunk, b_tile, dx2), dx_dtype),
-        ] + ([pltpu.VMEM((t_chunk, b_tile, 4 * (gh // 2)),
-                         proj[0].dtype)] * 2 if proj is not None else []),
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=_vmem_limit()),
         interpret=interpret,
     )(*operands)
+    if need_dx:
+        return out
+    return (None, *out)
 
 
 def _prep(params_f, params_r, x, lengths, bf16: bool):
@@ -686,17 +709,25 @@ def _prep(params_f, params_r, x, lengths, bf16: bool):
     return xcat, wf, wr, wbd, _len_bc(lengths, B, T), H, hp
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def bidi_lstm_pallas(params_f: dict, params_r: dict, x: jax.Array,
                      lengths: Optional[jax.Array], t_chunk: int = 8,
-                     interpret: bool = False, xz_bf16: bool = True) -> jax.Array:
+                     interpret: bool = False, xz_bf16: bool = True,
+                     need_dx: bool = True) -> jax.Array:
     """Fused bidi LSTM via Pallas; same contract as ops.lstm.bidi_lstm_apply:
     x [B,T,D] -> [B,T,2H] (forward then backward features, padding zero).
 
     xz_bf16=True (production default) streams activations and runs the MXU
     matmuls in bfloat16 with f32 accumulation (~1e-4 absolute effect on
     activations, well under CTC-alignment noise). False = strict-f32
-    verification mode."""
+    verification mode.
+
+    need_dx=False declares that the caller will not consume the cotangent
+    w.r.t. ``x`` (the net's input layer: x is training data). The backward
+    kernel then skips the dz@wxt matmuls and the [B,T,2D] dx stream — a
+    custom_vjp body is opaque to XLA's dead-code elimination, so the dead
+    computation must be dropped at trace time. The returned x-cotangent is
+    exact zeros."""
     y, _ = _fwd_impl(params_f, params_r, x, lengths, t_chunk, interpret,
                      xz_bf16)
     return y
@@ -746,12 +777,13 @@ def _fwd_impl(params_f, params_r, x, lengths, t_chunk, interpret, xz_bf16=True):
     return y, res
 
 
-def _vjp_fwd(params_f, params_r, x, lengths, t_chunk, interpret, xz_bf16):
+def _vjp_fwd(params_f, params_r, x, lengths, t_chunk, interpret, xz_bf16,
+             need_dx):
     return _fwd_impl(params_f, params_r, x, lengths, t_chunk, interpret,
                      xz_bf16)
 
 
-def _vjp_bwd(t_chunk, interpret, xz_bf16, res, gy):
+def _vjp_bwd(t_chunk, interpret, xz_bf16, need_dx, res, gy):
     (params_f, params_r, x, lengths, xcat, wf, wr, wbd, len_bc,
      hprev, cprev, H, hp, proj) = res
     gh = 2 * hp
@@ -779,7 +811,7 @@ def _vjp_bwd(t_chunk, interpret, xz_bf16, res, gy):
     dxcat, dwf, dwr, dwh = _call_bwd(
         xcat, len_bc, hprev, cprev, gseq, wf, wr, wbd, wxt,
         b_tile=bt, t_chunk=tc, interpret=interpret, compute_bf16=xz_bf16,
-        dx_dtype=gdt, proj=proj)
+        dx_dtype=gdt, proj=proj, need_dx=need_dx)
 
     # Gate-major -> reference-layout extraction on the small weight grads.
     grads = []
@@ -791,9 +823,12 @@ def _vjp_bwd(t_chunk, interpret, xz_bf16, res, gy):
                       "Wh": dWh.astype(p["Wh"].dtype),
                       "b": db.astype(p["b"].dtype)})
 
-    dx = (dxcat[..., :D].astype(jnp.float32)
-          + jnp.flip(dxcat[..., D:2 * D].astype(jnp.float32), axis=1)
-          ).astype(x.dtype)
+    if need_dx:
+        dx = (dxcat[..., :D].astype(jnp.float32)
+              + jnp.flip(dxcat[..., D:2 * D].astype(jnp.float32), axis=1)
+              ).astype(x.dtype)
+    else:
+        dx = jnp.zeros_like(x)
     return grads[0], grads[1], dx, None
 
 

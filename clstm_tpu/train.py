@@ -75,8 +75,10 @@ def ctc_alignment_loss(spec: NetSpec, params: dict, batch: dict, *,
     Returns (loss, (probs, aligned)).
     """
     x, lengths = batch["x"], batch["lengths"]
+    # input_is_leaf: the train step differentiates w.r.t. params only, so
+    # the fused input-layer kernel may skip its dx cotangent stream.
     logits = apply_net(spec, params, x, lengths, logits=True,
-                       compute_dtype=compute_dtype)
+                       compute_dtype=compute_dtype, input_is_leaf=True)
     logits = logits.astype(jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1)
     aligned = jax.lax.stop_gradient(
@@ -107,8 +109,10 @@ def frame_target_loss(spec: NetSpec, params: dict, batch: dict, *,
     batch: {"x": [B,T,D], "lengths": [B], "y": [B,T,C] one-hot frame targets}.
     """
     x, lengths = batch["x"], batch["lengths"]
+    # input_is_leaf: the train step differentiates w.r.t. params only, so
+    # the fused input-layer kernel may skip its dx cotangent stream.
     logits = apply_net(spec, params, x, lengths, logits=True,
-                       compute_dtype=compute_dtype)
+                       compute_dtype=compute_dtype, input_is_leaf=True)
     logits = logits.astype(jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1)
     mask = length_mask(lengths, x.shape[1])

@@ -152,3 +152,70 @@ def test_fits_pallas_models_the_real_kernel_config():
     assert not pk.fits_pallas(256, 1024, H=100, D=20000)
     # Standard config-3 shape still passes.
     assert pk.fits_pallas(256, 1024, H=100, D=48)
+
+
+def test_need_dx_false_same_weight_grads_zero_dx():
+    """need_dx=False (input-layer mode) must leave the WEIGHT gradients
+    bit-identical to the full backward and return exact-zero x-cotangents
+    (they have no consumer in the train step)."""
+    pf, pr, x, lengths = _setup()
+    tgt = jax.random.normal(jax.random.PRNGKey(9), (4, 16, 14))
+
+    def loss(need_dx):
+        def f(pf_, pr_, x_):
+            y = bidi_lstm_pallas(pf_, pr_, x_, lengths, 8, True, False,
+                                 need_dx)
+            return jnp.sum((y - tgt) ** 2)
+        return f
+
+    g_full = jax.grad(loss(True), argnums=(0, 1, 2))(pf, pr, x)
+    g_skip = jax.grad(loss(False), argnums=(0, 1, 2))(pf, pr, x)
+    for a, b in zip(jax.tree.leaves(g_full[:2]), jax.tree.leaves(g_skip[:2])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.all(np.asarray(g_skip[2]) == 0.0)
+    assert np.any(np.asarray(g_full[2]) != 0.0)
+
+
+def test_train_loss_grads_unchanged_by_input_leaf_skip():
+    """End-to-end: ctc_alignment_loss param grads with the fused Pallas
+    path (input_is_leaf=True threaded from the loss) match fuse_bidi=False
+    literal-combinator grads."""
+    from clstm_tpu.models.prefab import make_net_init
+    from clstm_tpu.train import ctc_alignment_loss
+
+    spec, params = make_net_init(
+        "bidi", {"ninput": 5, "nhidden": 7, "noutput": 6})
+    rng = np.random.RandomState(0)
+    B, T = 4, 16
+    batch = {
+        "x": jnp.asarray(rng.rand(B, T, 5).astype(np.float32)),
+        "lengths": jnp.asarray(np.array([16, 13, 8, 5], np.int32)),
+        "targets": jnp.asarray(
+            np.tile(np.array([0, 1, 0, 2, 0], np.int32), (B, 1))),
+        "target_lengths": jnp.asarray(np.full(B, 5, np.int32)),
+    }
+
+    # Compare grads of the production loss (fused path, input_is_leaf
+    # threaded; on CPU this runs the fused scan cell which ignores the
+    # flag) against the literal-combinator loss.
+    g1 = jax.grad(lambda p: ctc_alignment_loss(spec, p, batch)[0])(params)
+    from clstm_tpu.models.spec import apply_net
+
+    def loss_literal(p):
+        logits = apply_net(spec, p, batch["x"], batch["lengths"],
+                           logits=True, fuse_bidi=False).astype(jnp.float32)
+        probs = jax.nn.softmax(logits, axis=-1)
+        from clstm_tpu.ops.ctc import ctc_align_targets_batched
+        from clstm_tpu.ops.seq import length_mask
+        aligned = jax.lax.stop_gradient(ctc_align_targets_batched(
+            jax.lax.stop_gradient(probs), batch["targets"],
+            lengths=batch["lengths"],
+            target_lengths=batch["target_lengths"]))
+        mask = length_mask(batch["lengths"], T)
+        ll = jax.nn.log_softmax(logits, axis=-1)
+        return jnp.sum(jnp.sum(-jnp.sum(aligned * ll, -1) * mask, -1))
+
+    g2 = jax.grad(loss_literal)(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

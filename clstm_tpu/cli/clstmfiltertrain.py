@@ -5,6 +5,11 @@ Usage:  clstmfiltertrain TRAIN.tsv [TEST.tsv]
 where each line is ``input<TAB>output``. Env params mirror clstmocrtrain:
 save_name, load, ntrain, lrate, momentum, nhidden, report_every,
 save_every, test_every, randseed, net=bidi.
+
+TPU-native additions: batch_size=N (bucketed batched training),
+input_repeat=k, and mesh=N data-parallel devices (0 = all chips; engages
+automatically on the batched path when more than one device is present,
+same shard_map+psum step as clstmocrtrain).
 """
 
 from __future__ import annotations
@@ -35,10 +40,14 @@ def read_tsv(fname: str):
     return pairs
 
 
-def evaluate(model: CLSTMText, pairs) -> float:
+def evaluate(model: CLSTMText, pairs, batch_size: int = 1) -> float:
+    if batch_size > 1:
+        from clstm_tpu.cli.clstmfilter import _predict_batched
+        preds = _predict_batched(model, [a for a, _ in pairs], batch_size)
+    else:
+        preds = (model.predict(a) for a, _ in pairs)
     err = chars = 0
-    for a, b in pairs:
-        pred = model.predict(a)
+    for (a, b), pred in zip(pairs, preds):
         err += levenshtein(b, pred)
         chars += len(b)
     return err / max(chars, 1)
@@ -75,7 +84,7 @@ def train_batched(model: CLSTMText, train_pairs, test_pairs, *, ntrain,
                 print(f"   OUT: {pred!r}", flush=True)
             if test_pairs and trials >= next_test:
                 next_test += test_every
-                err = evaluate(model, test_pairs)
+                err = evaluate(model, test_pairs, batch_size)
                 print(f"TESTERR {trials} {err:.4f}", flush=True)
                 if err < best_err:
                     best_err = err
@@ -127,6 +136,21 @@ def main(argv=None) -> int:
         for name, c in (("codec", model.codec), ("icodec", model.icodec)):
             if c is not None and c.dropped:
                 print(f"# WARNING [{name}]: {c.dropped_report()}")
+
+    # Multi-chip DP (mirrors clstmocrtrain's mesh= wiring): only on the
+    # batched path, where batch rows can shard over the mesh.
+    mesh_n = getienv("mesh", 0)
+    if batch_size > 1:
+        import jax
+        n_mesh = min(mesh_n if mesh_n > 0 else jax.device_count(),
+                     jax.device_count())
+        if n_mesh > 1:
+            from clstm_tpu.parallel.mesh import make_mesh
+            if batch_size % n_mesh:
+                batch_size = -(-batch_size // n_mesh) * n_mesh
+                print(f"# batch_size -> {batch_size} (mesh {n_mesh})")
+            model.set_mesh(make_mesh(n_mesh))
+            print(f"# data-parallel over {n_mesh} devices", flush=True)
 
     rng = np.random.RandomState(randseed)
     if batch_size > 1:

@@ -119,11 +119,24 @@ class _TrainableBase:
         return metrics
 
     def predict_batch(self, x: np.ndarray, lengths: np.ndarray):
-        """-> per-frame (ids [B,T], vals [B,T]) numpy arrays."""
+        """-> per-frame (ids [B,T], vals [B,T]) numpy arrays.
+
+        With a mesh set, rows are padded up to a multiple of the mesh size
+        (zero-length rows, masked everywhere) and the padding sliced off —
+        callers keep arbitrary batch sizes."""
         self._ensure_compiled()
+        B = x.shape[0]
+        if self.mesh is not None:
+            n = self.mesh.devices.size
+            pad = (-B) % n
+            if pad:
+                x = np.concatenate(
+                    [x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+                lengths = np.concatenate(
+                    [np.asarray(lengths), np.zeros(pad, np.int32)])
         ids, vals = self._predict(self.state.params, jnp.asarray(x),
                                   jnp.asarray(lengths))
-        return np.asarray(ids), np.asarray(vals)
+        return np.asarray(ids)[:B], np.asarray(vals)[:B]
 
     # -- checkpointing (reference save/load; .clstm proto format) --
     def save(self, fname: str, sidecar: bool = True) -> None:

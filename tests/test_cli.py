@@ -241,3 +241,40 @@ def test_clstmocrtrain_mesh_trajectory_matches_single_device(
     for a, b in zip(jax.tree.leaves(outs["1"]), jax.tree.leaves(outs["8"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=3e-4, atol=2e-5)
+
+
+def test_clstmfiltertrain_mesh_matches_single_device(tmp_path, monkeypatch):
+    """Filter-CLI DP equivalence: mesh=8 training reproduces the mesh=1
+    trajectory (same data order, psum-summed grads)."""
+    import jax
+    from clstm_tpu.io.proto import load_net
+
+    rng = np.random.RandomState(3)
+
+    def norep(n):
+        s = [rng.choice(list("abc"))]
+        while len(s) < n:
+            c = rng.choice(list("abc"))
+            if c != s[-1]:
+                s.append(c)
+        return "".join(s)
+
+    pairs = [(s, s[:3].upper()) for s in (norep(6) for _ in range(24))]
+    tsv = tmp_path / "train.tsv"
+    tsv.write_text("\n".join(f"{a}\t{b}" for a, b in pairs) + "\n")
+    from clstm_tpu.cli import clstmfiltertrain
+    outs = {}
+    for mesh in ("1", "8"):
+        save = str(tmp_path / f"filter-m{mesh}")
+        env = {"save_name": save, "ntrain": "240", "lrate": "0.02",
+               "momentum": "0.9", "nhidden": "12", "report_every": "400",
+               "save_every": "1200", "test_every": "1200", "randseed": "0",
+               "batch_size": "8", "mesh": mesh}
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        assert clstmfiltertrain.main([str(tsv)]) == 0
+        _, params, _, _ = load_net(save + "-last.clstm")
+        outs[mesh] = params
+    for a, b in zip(jax.tree.leaves(outs["1"]), jax.tree.leaves(outs["8"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=2e-5)

@@ -7,13 +7,15 @@ save_name, load, ntrain, lrate, momentum, nhidden, report_every,
 save_every, test_every, randseed, net=bidi.
 
 TPU-native additions: batch_size=N (bucketed batched training),
-input_repeat=k, and mesh=N data-parallel devices (0 = all chips; engages
-automatically on the batched path when more than one device is present,
-same shard_map+psum step as clstmocrtrain).
+input_repeat=k, log_jsonl= (structured JSONL metrics, as clstmocrtrain),
+and mesh=N data-parallel devices (0 = all chips; engages automatically on
+the batched path when more than one device is present, same
+shard_map+psum step as clstmocrtrain).
 """
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 
@@ -55,7 +57,7 @@ def evaluate(model: CLSTMText, pairs, batch_size: int = 1) -> float:
 
 def train_batched(model: CLSTMText, train_pairs, test_pairs, *, ntrain,
                   batch_size, report_every, save_every, test_every,
-                  save_name, rng):
+                  save_name, rng, jsonl=None):
     """Bucketed batched training loop (the TPU throughput path)."""
     from clstm_tpu.data.dataset import make_text_batches, pad_batch_rows
     from clstm_tpu.ops.ctc import decode_frames
@@ -82,10 +84,19 @@ def train_batched(model: CLSTMText, train_pairs, test_pairs, *, ntrain,
                 print(f"{trials} {float(m['loss']):.4f} ({rate:.1f} pairs/s)")
                 print(f"   TRU: {batch['texts'][0]!r}")
                 print(f"   OUT: {pred!r}", flush=True)
+                if jsonl:
+                    jsonl.write(json.dumps({
+                        "trial": trials, "loss": float(m["loss"]),
+                        "pairs_per_sec": rate}) + "\n")
+                    jsonl.flush()
             if test_pairs and trials >= next_test:
                 next_test += test_every
                 err = evaluate(model, test_pairs, batch_size)
                 print(f"TESTERR {trials} {err:.4f}", flush=True)
+                if jsonl:
+                    jsonl.write(json.dumps(
+                        {"trial": trials, "test_cer": err}) + "\n")
+                    jsonl.flush()
                 if err < best_err:
                     best_err = err
                     model.save(save_name + ".clstm")
@@ -116,6 +127,7 @@ def main(argv=None) -> int:
     net_kind = getsenv("net", "bidi")
     batch_size = getienv("batch_size", 1)
     input_repeat = getienv("input_repeat", 1)
+    log_jsonl = getsenv("log_jsonl", "")
 
     train_pairs = read_tsv(argv[0])
     test_pairs = read_tsv(argv[1]) if len(argv) > 1 else None
@@ -153,12 +165,15 @@ def main(argv=None) -> int:
             print(f"# data-parallel over {n_mesh} devices", flush=True)
 
     rng = np.random.RandomState(randseed)
+    jsonl = open(log_jsonl, "a") if log_jsonl else None
     if batch_size > 1:
         train_batched(model, train_pairs, test_pairs, ntrain=ntrain,
                       batch_size=batch_size, report_every=report_every,
                       save_every=save_every, test_every=test_every,
-                      save_name=save_name, rng=rng)
+                      save_name=save_name, rng=rng, jsonl=jsonl)
         report_drops()
+        if jsonl:
+            jsonl.close()
         return 0
     trials = 0
     best_err = float("inf")
@@ -176,6 +191,10 @@ def main(argv=None) -> int:
         if test_pairs and trials % test_every == 0:
             err = evaluate(model, test_pairs)
             print(f"TESTERR {trials} {err:.4f}", flush=True)
+            if jsonl:
+                jsonl.write(json.dumps(
+                    {"trial": trials, "test_cer": err}) + "\n")
+                jsonl.flush()
             if err < best_err:
                 best_err = err
                 model.save(save_name + ".clstm")
@@ -184,6 +203,8 @@ def main(argv=None) -> int:
             model.save(save_name + "-last.clstm")
     model.save(save_name + "-last.clstm")
     report_drops()
+    if jsonl:
+        jsonl.close()
     return 0
 
 

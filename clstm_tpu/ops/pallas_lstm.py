@@ -16,8 +16,10 @@ Three rounds of profiling shaped the design (benchmarks/profile_step.py):
   order + boundary reset is EXACTLY flip-within-length semantics
   (reference ``Reversed``, clstm.cc ≈L800-1000): the reverse recurrence
   starts from zero state at t = len-1 and walks to t = 0; outputs for
-  t >= len are exact zeros. The layer output / cotangent / dx flips
-  reduce to ``jnp.flip`` (stride reversal) outside.
+  t >= len are exact zeros. Outputs use the same trick in reverse: the
+  forward kernel writes the reverse-direction half through a time-reversed
+  OUTPUT block map, so y leaves the kernel already in original time order
+  and the old flip/mask epilogue pass is gone.
 * **The input projection lives INSIDE the kernels** from a packed
   ``xcat = [x | 1]`` stream; the round-1 xz [B, T, 8Hp] HBM tensor
   (512MB written + read twice at the bench shape) is gone.
@@ -26,8 +28,10 @@ Three rounds of profiling shaped the design (benchmarks/profile_step.py):
   state ``hcat [B, 2Hp]`` times ``Wbd [2Hp, 8Hp]`` with column blocks
   ``[gi | gf | go | ci]``, forward direction in the first Hp lanes of
   each block, reverse in the second.
-* **The forward kernel emits (h_seq, hprev, cprev)** — the pre-step state
-  streams the backward pass needs are its loop carries, free to store.
+* **The forward kernel emits (yf, yr, hprev, cprev)** — the layer output
+  as two per-direction halves already in original time order (see above),
+  plus the pre-step state streams the backward pass needs (its loop
+  carries, free to store).
 * **The backward kernel accumulates dWf/dWr/dWh in VMEM-resident output
   blocks and emits dx directly; dz never touches HBM.** c_seq is not even
   stored — c_new is recomputed from (hprev, cprev, xcat).
@@ -141,11 +145,13 @@ def _make_wdir(params: dict, g: int, H: int, D: int, hp: int = HP,
 
 
 def _make_wxt(params_f: dict, params_r: dict, H: int, D: int, hp: int = HP):
-    """dx projection [8hp, 2D]: columns 0:D produce the forward-direction
-    dx, D:2D the (chain-ordered) reverse-direction dx."""
+    """Per-direction dx projections ([8hp, D], [8hp, D]). Kept as two
+    matrices (not one [8hp, 2D] concat) so the kernel can stage each
+    direction's dx into its own output stream — the reverse one through a
+    time-reversed output block map — without unaligned lane slicing."""
     Wf = _gm_weight(_pad_gates(params_f["Wx"], H, D, D, hp), 0, hp)
     Wr = _gm_weight(_pad_gates(params_r["Wx"], H, D, D, hp), 1, hp)
-    return jnp.concatenate([Wf.T, Wr.T], axis=1)      # [8hp, 2D]
+    return Wf.T, Wr.T
 
 
 # ---------------------------------------------------------------------------
@@ -222,29 +228,46 @@ def _rev_mask(len_gh, lane_ge_hp, s_f, T):
     return jnp.maximum(active, 1.0 - lane_ge_hp)
 
 
+def _full_mask(len_gh, lane_ge_hp, s_f, T):
+    """[bt, gh] per-step frame-validity mask for BOTH directions: forward
+    lanes active iff original time s < len, reverse lanes per _rev_mask.
+    Used by the backward kernel so raw (unmasked) output cotangents can be
+    streamed in: (g + Dh) * full_mask zeroes phantom-frame contributions
+    in-kernel, replacing the former XLA-side gy mask multiply."""
+    act_f = (len_gh > s_f).astype(jnp.float32)
+    act_r = (len_gh > (T - 1.0 - s_f)).astype(jnp.float32)
+    return act_f * (1.0 - lane_ge_hp) + act_r * lane_ge_hp
+
+
 def _fwd_kernel(*refs, t_chunk: int, gh: int, T: int, compute_bf16: bool,
                 proj_in: bool = False):
     """Forward recurrence over one (b_tile, t_chunk) block.
 
-    Emits h_seq (post-step, for the layer output) and hprev/cprev (pre-step
-    carries, consumed by the backward kernel). Forward lanes carry NO
+    Emits the layer output directly in ORIGINAL time order as two
+    per-direction streams — yf (forward lanes, frame-validity masked
+    in-kernel) through a plain output block map and yr (reverse lanes)
+    through a time-REVERSED output block map with in-block row reversal —
+    plus hprev/cprev (pre-step carries, consumed by the backward kernel).
+    The former [B,T,2hp] mask+flip+concat XLA epilogue reduces to a
+    slice+concat of the two halves (round-2 lever: the epilogue was a full
+    HBM pass over the sequence per layer). Forward STATE carries no
     per-step length masking — padding is a contiguous per-row SUFFIX
-    (data/dataset bucketing invariant), phantom forward state never feeds
-    a valid frame, the caller masks the layer output, and backward
-    cotangents are zero through phantom frames. Reverse lanes are masked
-    by _rev_mask (their boundary reset IS the flip semantics).
+    (data/dataset bucketing invariant) so phantom forward state never
+    feeds a valid frame; only the yf WRITE is masked. Reverse lanes are
+    masked by _rev_mask (their boundary reset IS the flip semantics), so
+    yr's phantom prefix is exact zeros already.
 
     proj_in=True: the input projection was hoisted to one big XLA matmul
     (large-D layers, see _fill_xz_hoisted) — the first two refs are the
     compact per-direction xz streams and there are no wf/wr operands."""
     if proj_in:
         (xf_ref, xr_ref, len_ref, wbd_ref,
-         hseq_ref, hprev_ref, cprev_ref,
-         h_ref, c_ref, xz_ref, hn_s, hs_s, cs_s, xzf_s, xzr_s) = refs
+         yf_ref, yr_ref, hprev_ref, cprev_ref,
+         h_ref, c_ref, xz_ref, yf_s, yr_s, hs_s, cs_s, xzf_s, xzr_s) = refs
     else:
         (xf_ref, xr_ref, len_ref, wf_ref, wr_ref, wbd_ref,
-         hseq_ref, hprev_ref, cprev_ref,
-         h_ref, c_ref, xz_ref, hn_s, hs_s, cs_s) = refs
+         yf_ref, yr_ref, hprev_ref, cprev_ref,
+         h_ref, c_ref, xz_ref, yf_s, yr_s, hs_s, cs_s) = refs
     tc_id = pl.program_id(1)
     cd = jnp.bfloat16 if compute_bf16 else jnp.float32
 
@@ -268,6 +291,7 @@ def _fwd_kernel(*refs, t_chunk: int, gh: int, T: int, compute_bf16: bool,
     # Statically unrolled over the chunk (Mosaic rejects DYNAMIC stores on
     # the sublane dim; time-leading scratch keeps per-step indexing on the
     # leading dim — see module docstring). h/c stay in registers.
+    len_hp = len_gh[:, :hp]
     h, c = h_ref[...], c_ref[...]
     for r in range(t_chunk):
         hs_s[r] = h.astype(hs_s.dtype)
@@ -279,10 +303,17 @@ def _fwd_kernel(*refs, t_chunk: int, gh: int, T: int, compute_bf16: bool,
         gi, gf, go, ci, c_new = _gates(z, c, gh)
         c = c_new * m
         h = jnp.tanh(c_new) * go * m
-        hn_s[r] = h.astype(hn_s.dtype)
+        # yf: mask phantom forward frames at the WRITE (s_f is original
+        # time for forward lanes). yr: chain step s_f is original time
+        # T-1-s_f; in-block row reversal + the reversed output block map
+        # land it at its original-time position.
+        yf_s[r] = (h[:, :hp] * (len_hp > s_f).astype(jnp.float32)
+                   ).astype(yf_s.dtype)
+        yr_s[t_chunk - 1 - r] = h[:, hp:].astype(yr_s.dtype)
     h_ref[...] = h
     c_ref[...] = c
-    hseq_ref[...] = jnp.transpose(hn_s[...], (1, 0, 2))
+    yf_ref[...] = jnp.transpose(yf_s[...], (1, 0, 2))
+    yr_ref[...] = jnp.transpose(yr_s[...], (1, 0, 2))
     hprev_ref[...] = jnp.transpose(hs_s[...], (1, 0, 2))
     cprev_ref[...] = jnp.transpose(cs_s[...], (1, 0, 2))
 
@@ -302,24 +333,35 @@ def _bwd_kernel(*refs, t_chunk: int, gh: int, T: int, compute_bf16: bool,
     proj_in=True: xz comes from hoisted streams (refs 3-4); the xcat views
     are still streamed for the dWf/dWr contractions, and wf/wr drop out.
     need_dx=False (the network's INPUT layer — its dx cotangent has no
-    consumer) drops the wxt operand, the dx output stream and its staging
-    scratch, and skips the dz@wxt matmuls entirely."""
+    consumer) drops the wxf/wxr operands, the dx output streams and their
+    staging scratch, and skips the dz@wx matmuls entirely.
+
+    The output cotangent arrives as two RAW per-direction streams gf/gr
+    (no XLA-side masking or flipping): gf in original==chain order, gr in
+    original time through the composed-forward block map, rows reversed
+    here to chain order. _full_mask zeroes phantom-frame contributions for
+    both directions in-kernel. dx leaves the same way: dxf through the
+    (grid-composed) original-time map, dxr staged row-reversed through the
+    mirrored map, so the caller just adds the halves — no flip pass."""
     refs = list(refs)
     if proj_in:
         (xf_ref, xr_ref, xzf_ref, xzr_ref, len_ref,
-         hprev_ref, cprev_ref, g_ref, wbd_ref, wbdt_ref) = refs[:10]
-        refs = refs[10:]
+         hprev_ref, cprev_ref, gf_ref, gr_ref, wbd_ref, wbdt_ref) = refs[:11]
+        refs = refs[11:]
         wf_ref = wr_ref = None
     else:
-        (xf_ref, xr_ref, len_ref, hprev_ref, cprev_ref, g_ref,
-         wf_ref, wr_ref, wbd_ref, wbdt_ref) = refs[:10]
-        refs = refs[10:]
-    wxt_ref = refs.pop(0) if need_dx else None
-    dx_ref = refs.pop(0) if need_dx else None
+        (xf_ref, xr_ref, len_ref, hprev_ref, cprev_ref, gf_ref, gr_ref,
+         wf_ref, wr_ref, wbd_ref, wbdt_ref) = refs[:11]
+        refs = refs[11:]
+    if need_dx:
+        wxf_ref, wxr_ref, dxf_ref, dxr_ref = refs[:4]
+        refs = refs[4:]
     (dwf_ref, dwr_ref, dwh_ref,
-     Dh_ref, Dc_ref, dz_ref, xz_ref, hp_s, cp_s, g_s) = refs[:10]
-    refs = refs[10:]
-    dx_s = refs.pop(0) if need_dx else None
+     Dh_ref, Dc_ref, dz_ref, xz_ref, hp_s, cp_s, gf_s, gr_s) = refs[:11]
+    refs = refs[11:]
+    if need_dx:
+        dxf_s, dxr_s = refs[:2]
+        refs = refs[2:]
     if proj_in:
         xzf_s, xzr_s = refs
     b_id, tc_id = pl.program_id(0), pl.program_id(1)
@@ -349,7 +391,8 @@ def _bwd_kernel(*refs, t_chunk: int, gh: int, T: int, compute_bf16: bool,
     # instead of a per-step in-chain relayout.
     hp_s[...] = jnp.transpose(hprev_ref[...], (1, 0, 2))
     cp_s[...] = jnp.transpose(cprev_ref[...], (1, 0, 2))
-    g_s[...] = jnp.transpose(g_ref[...], (1, 0, 2))
+    gf_s[...] = jnp.transpose(gf_ref[...], (1, 0, 2))
+    gr_s[...] = jnp.transpose(gr_ref[...], (1, 0, 2))
     hp = gh // 2
     len_gh = jnp.concatenate([len_ref[...]] * (gh // 128), axis=1)
     lane_ge_hp = (jax.lax.broadcasted_iota(
@@ -365,13 +408,15 @@ def _bwd_kernel(*refs, t_chunk: int, gh: int, T: int, compute_bf16: bool,
         h_prev = hp_s[r].astype(jnp.float32)
         c_prev = cp_s[r].astype(jnp.float32)
         s_f = (chunk0 + r).astype(jnp.float32)
-        m = _rev_mask(len_gh, lane_ge_hp, s_f, float(T))
+        m = _full_mask(len_gh, lane_ge_hp, s_f, float(T))
         z = xz_ref[r] + jnp.dot(
             h_prev.astype(cd), wbd, preferred_element_type=jnp.float32)
         gi, gf, go, ci, c_new = _gates(z, c_prev, gh)
         tc_new = jnp.tanh(c_new)
 
-        dh_new = (g_s[r].astype(jnp.float32) + Dh) * m
+        g_r = jnp.concatenate(
+            [gf_s[r], gr_s[t_chunk - 1 - r]], axis=1).astype(jnp.float32)
+        dh_new = (g_r + Dh) * m
         dc_new = Dc * m + dh_new * go * (1.0 - tc_new * tc_new)
         dgo = dh_new * tc_new * go * (1.0 - go)
         dgf = dc_new * c_prev * gf * (1.0 - gf)
@@ -390,7 +435,8 @@ def _bwd_kernel(*refs, t_chunk: int, gh: int, T: int, compute_bf16: bool,
     tdot = functools.partial(
         jax.lax.dot_general, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    wxt = wxt_ref[...].astype(cd) if need_dx else None
+    wxf = wxf_ref[...].astype(cd) if need_dx else None
+    wxr = wxr_ref[...].astype(cd) if need_dx else None
     dwf, dwr, dwh = dwf_ref[...], dwr_ref[...], dwh_ref[...]
     for k in range(t_chunk):
         dzk = dz_ref[k].astype(cd)
@@ -398,14 +444,20 @@ def _bwd_kernel(*refs, t_chunk: int, gh: int, T: int, compute_bf16: bool,
         dwr += tdot(xr_ref[:, t_chunk - 1 - k, :].astype(cd), dzk)
         dwh += tdot(hp_s[k].astype(cd), dzk)
         if need_dx:
-            dx_s[k] = jnp.dot(dzk, wxt,
-                              preferred_element_type=jnp.float32
-                              ).astype(dx_s.dtype)
+            # dxf at chain row k == original row k of this (rev-mapped)
+            # block; dxr rows reverse into the mirrored (fwd-mapped) block.
+            dxf_s[k] = jnp.dot(dzk, wxf,
+                               preferred_element_type=jnp.float32
+                               ).astype(dxf_s.dtype)
+            dxr_s[t_chunk - 1 - k] = jnp.dot(
+                dzk, wxr, preferred_element_type=jnp.float32
+            ).astype(dxr_s.dtype)
     dwf_ref[...] = dwf
     dwr_ref[...] = dwr
     dwh_ref[...] = dwh
     if need_dx:
-        dx_ref[...] = jnp.transpose(dx_s[...], (1, 0, 2))
+        dxf_ref[...] = jnp.transpose(dxf_s[...], (1, 0, 2))
+        dxr_ref[...] = jnp.transpose(dxr_s[...], (1, 0, 2))
 
 
 # ---------------------------------------------------------------------------
@@ -550,6 +602,11 @@ def _call_fwd(xcat, len_bc, wf, wr, wbd, *, b_tile, t_chunk, interpret,
                            memory_space=pltpu.VMEM)
     stream = pl.BlockSpec((b_tile, t_chunk, gh), lambda b, t: (b, t, 0),
                           memory_space=pltpu.VMEM)
+    hp = gh // 2
+    y_fwd = pl.BlockSpec((b_tile, t_chunk, hp), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM)
+    y_rev = pl.BlockSpec((b_tile, t_chunk, hp), lambda b, t: (b, nT - 1 - t, 0),
+                         memory_space=pltpu.VMEM)
     const2 = lambda shape, m=lambda b, t: (0, 0): pl.BlockSpec(
         shape, m, memory_space=pltpu.VMEM)
     if proj is not None:
@@ -568,7 +625,8 @@ def _call_fwd(xcat, len_bc, wf, wr, wbd, *, b_tile, t_chunk, interpret,
         pltpu.VMEM((b_tile, gh), jnp.float32),
         pltpu.VMEM((b_tile, gh), jnp.float32),
         pltpu.VMEM((t_chunk, b_tile, 4 * gh), jnp.float32),
-        pltpu.VMEM((t_chunk, b_tile, gh), seq_dtype),
+        pltpu.VMEM((t_chunk, b_tile, hp), seq_dtype),
+        pltpu.VMEM((t_chunk, b_tile, hp), seq_dtype),
         pltpu.VMEM((t_chunk, b_tile, gh), seq_dtype),
         pltpu.VMEM((t_chunk, b_tile, gh), seq_dtype),
     ]
@@ -581,8 +639,9 @@ def _call_fwd(xcat, len_bc, wf, wr, wbd, *, b_tile, t_chunk, interpret,
                           proj_in=proj is not None),
         grid=grid,
         in_specs=in_specs,
-        out_specs=[stream, stream, stream],
-        out_shape=[jax.ShapeDtypeStruct((B, T, gh), seq_dtype)] * 3,
+        out_specs=[y_fwd, y_rev, stream, stream],
+        out_shape=[jax.ShapeDtypeStruct((B, T, hp), seq_dtype)] * 2
+        + [jax.ShapeDtypeStruct((B, T, gh), seq_dtype)] * 2,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
@@ -591,16 +650,21 @@ def _call_fwd(xcat, len_bc, wf, wr, wbd, *, b_tile, t_chunk, interpret,
     )(*operands)
 
 
-def _call_bwd(xcat, len_bc, hprev, cprev, gseq, wf, wr, wbd, wxt,
+def _call_bwd(xcat, len_bc, hprev, cprev, gyf, gyr, wf, wr, wbd, wxfr,
               *, b_tile, t_chunk, interpret, compute_bf16, dx_dtype,
               proj=None, need_dx=True):
     """proj=(xzf, xzr) adds the hoisted-projection streams (gate
     recomputation source); the xcat views stay for the dWf/dWr
-    contractions and wf/wr drop out. need_dx=False drops the dx output
-    (returned as None) and its in-kernel matmuls/streams."""
+    contractions and wf/wr drop out. need_dx=False drops the dx outputs
+    (returned as None) and their in-kernel matmuls/streams.
+
+    gyf/gyr are the RAW per-direction output cotangents [B, T, hp], both
+    in original time order (masking and the reverse direction's
+    chain-order relayout happen in-kernel via _full_mask and the block
+    maps). Returns (dxf, dxr) halves likewise in original time order."""
     B, T, dc = xcat.shape
     gh = wbd.shape[0]
-    dx2 = wxt.shape[1]
+    hp = gh // 2
     nT = T // t_chunk
     grid = (B // b_tile, nT)
     rev = lambda b, t: (b, nT - 1 - t, 0)
@@ -612,12 +676,15 @@ def _call_bwd(xcat, len_bc, hprev, cprev, gseq, wf, wr, wbd, wxt,
     xspec_r = pl.BlockSpec((b_tile, t_chunk, dc), fwd_map,
                            memory_space=pltpu.VMEM)
     stream = pl.BlockSpec((b_tile, t_chunk, gh), rev, memory_space=pltpu.VMEM)
+    g_f = pl.BlockSpec((b_tile, t_chunk, hp), rev, memory_space=pltpu.VMEM)
+    g_r = pl.BlockSpec((b_tile, t_chunk, hp), fwd_map,
+                       memory_space=pltpu.VMEM)
     const2 = lambda shape, m=lambda b, t: (0, 0): pl.BlockSpec(
         shape, m, memory_space=pltpu.VMEM)
     wdt = jnp.bfloat16 if compute_bf16 else jnp.float32
     dz_dt = jnp.bfloat16 if compute_bf16 else jnp.float32
     if proj is not None:
-        sdim = 4 * (gh // 2)
+        sdim = 4 * hp
         zspec_f = pl.BlockSpec((b_tile, t_chunk, sdim), rev,
                                memory_space=pltpu.VMEM)
         zspec_r = pl.BlockSpec((b_tile, t_chunk, sdim), fwd_map,
@@ -625,24 +692,24 @@ def _call_bwd(xcat, len_bc, hprev, cprev, gseq, wf, wr, wbd, wxt,
         in_specs = [
             xspec_f, xspec_r, zspec_f, zspec_r,
             const2((b_tile, 128), lambda b, t: (b, 0)),
-            stream, stream, stream,
+            stream, stream, g_f, g_r,
             const2((gh, 4 * gh)),
             const2((4 * gh, gh)),
         ]
         operands = [xcat, xcat, proj[0], proj[1], len_bc,
-                    hprev, cprev, gseq, wbd.astype(wdt),
+                    hprev, cprev, gyf, gyr, wbd.astype(wdt),
                     jnp.swapaxes(wbd, 0, 1).astype(wdt)]
     else:
         in_specs = [
             xspec_f, xspec_r,
             const2((b_tile, 128), lambda b, t: (b, 0)),
-            stream, stream, stream,
+            stream, stream, g_f, g_r,
             const2((dc, 4 * gh)),
             const2((dc, 4 * gh)),
             const2((gh, 4 * gh)),
             const2((4 * gh, gh)),
         ]
-        operands = [xcat, xcat, len_bc, hprev, cprev, gseq,
+        operands = [xcat, xcat, len_bc, hprev, cprev, gyf, gyr,
                     wf.astype(wdt), wr.astype(wdt), wbd.astype(wdt),
                     jnp.swapaxes(wbd, 0, 1).astype(wdt)]
     out_specs = [
@@ -656,11 +723,14 @@ def _call_bwd(xcat, len_bc, hprev, cprev, gseq, wf, wr, wbd, wxt,
         jax.ShapeDtypeStruct((gh, 4 * gh), jnp.float32),
     ]
     if need_dx:
-        in_specs.append(const2((4 * gh, dx2)))
-        operands.append(wxt.astype(wdt))
-        out_specs.insert(0, pl.BlockSpec((b_tile, t_chunk, dx2), rev,
-                                         memory_space=pltpu.VMEM))
-        out_shape.insert(0, jax.ShapeDtypeStruct((B, T, dx2), dx_dtype))
+        D = wxfr[0].shape[1]
+        in_specs += [const2((4 * gh, D)), const2((4 * gh, D))]
+        operands += [wxfr[0].astype(wdt), wxfr[1].astype(wdt)]
+        out_specs = [pl.BlockSpec((b_tile, t_chunk, D), rev,
+                                  memory_space=pltpu.VMEM),
+                     pl.BlockSpec((b_tile, t_chunk, D), fwd_map,
+                                  memory_space=pltpu.VMEM)] + out_specs
+        out_shape = [jax.ShapeDtypeStruct((B, T, D), dx_dtype)] * 2 + out_shape
     scratch = [
         pltpu.VMEM((b_tile, gh), jnp.float32),
         pltpu.VMEM((b_tile, gh), jnp.float32),
@@ -668,12 +738,13 @@ def _call_bwd(xcat, len_bc, hprev, cprev, gseq, wf, wr, wbd, wxt,
         pltpu.VMEM((t_chunk, b_tile, 4 * gh), jnp.float32),
         pltpu.VMEM((t_chunk, b_tile, gh), dz_dt),
         pltpu.VMEM((t_chunk, b_tile, gh), dz_dt),
-        pltpu.VMEM((t_chunk, b_tile, gh), dz_dt),
+        pltpu.VMEM((t_chunk, b_tile, hp), dz_dt),
+        pltpu.VMEM((t_chunk, b_tile, hp), dz_dt),
     ]
     if need_dx:
-        scratch.append(pltpu.VMEM((t_chunk, b_tile, dx2), dx_dtype))
+        scratch += [pltpu.VMEM((t_chunk, b_tile, D), dx_dtype)] * 2
     if proj is not None:
-        scratch += [pltpu.VMEM((t_chunk, b_tile, 4 * (gh // 2)),
+        scratch += [pltpu.VMEM((t_chunk, b_tile, 4 * hp),
                                proj[0].dtype)] * 2
     out = pl.pallas_call(
         functools.partial(_bwd_kernel, t_chunk=t_chunk, gh=gh, T=T,
@@ -691,7 +762,7 @@ def _call_bwd(xcat, len_bc, hprev, cprev, gseq, wf, wr, wbd, wxt,
     )(*operands)
     if need_dx:
         return out
-    return (None, *out)
+    return (None, None, *out)
 
 
 def _prep(params_f, params_r, x, lengths, bf16: bool):
@@ -724,7 +795,7 @@ def bidi_lstm_pallas(params_f: dict, params_r: dict, x: jax.Array,
 
     need_dx=False declares that the caller will not consume the cotangent
     w.r.t. ``x`` (the net's input layer: x is training data). The backward
-    kernel then skips the dz@wxt matmuls and the [B,T,2D] dx stream — a
+    kernel then skips the dz@wx matmuls and the two [B,T,D] dx streams — a
     custom_vjp body is opaque to XLA's dead-code elimination, so the dead
     computation must be dropped at trace time. The returned x-cotangent is
     exact zeros."""
@@ -750,28 +821,20 @@ def _fwd_impl(params_f, params_r, x, lengths, t_chunk, interpret, xz_bf16=True):
         B, T,
         lambda b: _fwd_trow_bytes(b, dc, hp, nb, hoisted=proj is not None),
         t_chunk)
-    h_seq, hprev, cprev = _call_fwd(
+    yf, yr, hprev, cprev = _call_fwd(
         xcat, len_bc, wf.astype(wdt), wr.astype(wdt), wbd.astype(wdt),
         b_tile=bt, t_chunk=tc, interpret=interpret, compute_bf16=xz_bf16,
         seq_dtype=jnp.bfloat16 if xz_bf16 else jnp.float32, proj=proj)
-    lens = jnp.full((B,), T, jnp.int32) if lengths is None else lengths
-    mask = (jnp.arange(T)[None, :] < lens[:, None]).astype(jnp.float32)
-    hm = h_seq.astype(jnp.float32)
-    # Forward lanes are masked in ORIGINAL time (their phantom suffix is
-    # garbage). Reverse-direction features come out in CHAIN order
-    # (original time T-1-s) with exact zeros in their phantom prefix from
-    # the in-kernel boundary reset — a global stride-reversal flip (not a
-    # gather) restores original time, zeros landing on the padding.
-    # Production mode emits y in bf16: h_seq is ALREADY stored bf16 by the
-    # kernel and every downstream consumer (next bidi layer's xcat, the
-    # affine MXU matmuls) casts to bf16 anyway, so this is lossless while
-    # halving the inter-layer glue bandwidth ([B,T,2H] epilogue + the next
-    # layer's xcat concat are pure HBM passes).
+    # Both halves come out of the kernel ALREADY in original time order
+    # (reversed output block map + in-block row reversal for yr) and
+    # already masked/zero on padded frames — the epilogue is one lane
+    # slice+concat, no flip pass, no mask multiply, no f32 round-trip.
+    # Production mode emits y in bf16: the halves are ALREADY stored bf16
+    # by the kernel and every downstream consumer (next bidi layer's xcat,
+    # the affine MXU matmuls) casts to bf16 anyway, so this is lossless
+    # while halving the inter-layer glue bandwidth.
     y_dt = jnp.bfloat16 if (xz_bf16 and x.dtype == jnp.float32) else x.dtype
-    y = jnp.concatenate(
-        [hm[..., :H] * mask[:, :, None],
-         jnp.flip(hm, axis=1)[..., hp:hp + H]],
-        axis=-1).astype(y_dt)
+    y = jnp.concatenate([yf[..., :H], yr[..., :H]], axis=-1).astype(y_dt)
     res = (params_f, params_r, x, lengths, xcat, wf, wr, wbd, len_bc,
            hprev, cprev, H, hp, proj)
     return y, res
@@ -789,27 +852,25 @@ def _vjp_bwd(t_chunk, interpret, xz_bf16, need_dx, res, gy):
     gh = 2 * hp
     B, T, D = x.shape
     dc = D + 1
-    gy = gy.astype(jnp.float32)
-    lens = jnp.full((B,), T, jnp.int32) if lengths is None else lengths
-    mask = (jnp.arange(T)[None, :] < lens[:, None]).astype(jnp.float32)
-    # Cotangents in the combined [B,T,2Hp] chain layout: forward lanes in
-    # original order, reverse lanes globally flipped to chain order; both
-    # zero on padded frames so the kernel's no-masking invariant holds.
+    # RAW per-direction cotangent halves, both in ORIGINAL time order,
+    # lane-padded H -> hp. No mask multiply (the kernel's _full_mask
+    # zeroes phantom frames) and no flip pass (the kernel's block maps
+    # re-order the reverse half to chain order) — the former
+    # zeros+set+flip gseq assembly was a full HBM pass over [B,T,2hp].
     gdt = jnp.bfloat16 if xz_bf16 else jnp.float32
-    gm = gy * mask[:, :, None]
-    gseq = jnp.zeros((B, T, gh), jnp.float32)
-    gseq = gseq.at[..., :H].set(gm[..., :H])
-    gseq = gseq.at[..., hp:hp + H].set(jnp.flip(gm[..., H:], axis=1))
-    gseq = gseq.astype(gdt)
+    gy = gy.astype(gdt)
+    pad = ((0, 0), (0, 0), (0, hp - H))
+    gyf = jnp.pad(gy[..., :H], pad)
+    gyr = jnp.pad(gy[..., H:], pad)
 
-    wxt = _make_wxt(params_f, params_r, H, D, hp)
+    wxfr = _make_wxt(params_f, params_r, H, D, hp)
     nb = 2 if xz_bf16 else 4
     bt, tc = _pick_tiles(
         B, T,
         lambda b: _bwd_trow_bytes(b, dc, hp, nb, hoisted=proj is not None),
         t_chunk)
-    dxcat, dwf, dwr, dwh = _call_bwd(
-        xcat, len_bc, hprev, cprev, gseq, wf, wr, wbd, wxt,
+    dxf, dxr, dwf, dwr, dwh = _call_bwd(
+        xcat, len_bc, hprev, cprev, gyf, gyr, wf, wr, wbd, wxfr,
         b_tile=bt, t_chunk=tc, interpret=interpret, compute_bf16=xz_bf16,
         dx_dtype=gdt, proj=proj, need_dx=need_dx)
 
@@ -824,8 +885,8 @@ def _vjp_bwd(t_chunk, interpret, xz_bf16, need_dx, res, gy):
                       "b": db.astype(p["b"].dtype)})
 
     if need_dx:
-        dx = (dxcat[..., :D].astype(jnp.float32)
-              + jnp.flip(dxcat[..., D:2 * D].astype(jnp.float32), axis=1)
+        # Both halves already in original time order — plain add, no flip.
+        dx = (dxf.astype(jnp.float32) + dxr.astype(jnp.float32)
               ).astype(x.dtype)
     else:
         dx = jnp.zeros_like(x)

@@ -217,6 +217,12 @@ def ctc_align_targets_batched(
         # hardware-only — CPU interpret runs true f32 and shows parity).
         # With HIGHEST the one-hot contraction matches the gather to
         # ~f32 ulp (selected probabilities times exactly 1.0).
+        # Round-3 measurement doubled down on this choice: on the
+        # tunneled-v5e backend, take_along_axis over the class axis
+        # itself returns WRONG values (max abs err 0.023 vs numpy at
+        # [8,16,96]x[8,128] — a backend gather bug; exact on CPU), while
+        # the HIGHEST einsum is bit-exact vs numpy. The gather branch
+        # below must stay CPU-only.
         prod = jnp.einsum("btc,bsc->bts", out, onehot,
                           preferred_element_type=f32,
                           precision=jax.lax.Precision.HIGHEST)

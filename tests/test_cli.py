@@ -131,7 +131,7 @@ def test_clstmfiltertrain_batched(tmp_path, monkeypatch, capsys):
     env = {"save_name": save, "ntrain": "1200", "lrate": "0.02",
            "momentum": "0.9", "nhidden": "16", "report_every": "400",
            "save_every": "1200", "test_every": "600", "randseed": "0",
-           "batch_size": "8"}
+           "batch_size": "8", "log_jsonl": str(tmp_path / "m.jsonl")}
     for k, v in env.items():
         monkeypatch.setenv(k, v)
     from clstm_tpu.cli import clstmfiltertrain
@@ -140,6 +140,11 @@ def test_clstmfiltertrain_batched(tmp_path, monkeypatch, capsys):
     out = capsys.readouterr().out
     assert "TESTERR" in out and "pairs/s" in out
     assert os.path.exists(save + "-last.clstm")
+    import json
+    recs = [json.loads(l) for l in
+            (tmp_path / "m.jsonl").read_text().splitlines()]
+    assert any("loss" in r for r in recs)
+    assert any("test_cer" in r for r in recs)
 
 
 def test_clstmfilter_batched_matches_single(tmp_path, monkeypatch, capsys):

@@ -43,6 +43,47 @@ def _find_fonts() -> list:
 
 DEFAULT_CHARSET = string.ascii_letters + string.digits + " .,;:'\"!?-()"
 
+# Codepoint ranges for a large multi-script alphabet (config-4-style
+# Fraktur/Devanagari stand-in with the fonts available offline):
+# Latin + digits + Latin-1 supplement + Latin Extended-A + Greek + Cyrillic.
+LARGE_ALPHABET_RANGES = ((0x41, 0x5B), (0x61, 0x7B), (0x30, 0x3A),
+                         (0xC0, 0x100), (0x100, 0x180),
+                         (0x391, 0x3A2), (0x3A3, 0x3CA), (0x410, 0x450))
+
+
+def renderable_charset(fontpath: str, ranges=LARGE_ALPHABET_RANGES,
+                       size: int = 32, dedupe_glyphs: bool = True) -> str:
+    """Letters/digits from ``ranges`` that the font actually renders.
+
+    dedupe_glyphs=True keeps only the FIRST character per distinct
+    rendered glyph bitmap. Multi-script alphabets share homoglyphs
+    (Cyrillic а/е/о/р/с/х and many Greek/Cyrillic capitals render
+    pixel-identically to Latin in DejaVu); leaving them in puts an
+    unlearnable ambiguity floor under any glyph-recognition CER — the
+    model cannot tell identical images apart (measured: the undeduped
+    384-class config-4 stand-in plateaus ~10pp above the deduped one).
+    """
+    import unicodedata
+
+    f = ImageFont.truetype(fontpath, size)
+    out = []
+    seen = set()
+    for lo, hi in ranges:
+        for cp in range(lo, hi):
+            ch = chr(cp)
+            if not (unicodedata.category(ch).startswith("L") or ch.isdigit()):
+                continue
+            m = f.getmask(ch)
+            if m.size[0] == 0 or m.size[1] == 0:
+                continue
+            key = (m.size, bytes(m))
+            if dedupe_glyphs:
+                if key in seen:
+                    continue
+                seen.add(key)
+            out.append(ch)
+    return "".join(out)
+
 
 class LineGenerator:
     """Deterministic synthetic line renderer.

@@ -35,8 +35,15 @@ from clstm_tpu.data.lines import LineGenerator, make_dataset_dir
 work = sys.argv[1]
 
 def big_charset(fontpath):
+    """Renderable letters/digits across Latin(+ext)/Greek/Cyrillic,
+    DEDUPED BY RENDERED GLYPH: the scripts share homoglyphs (Cyrillic
+    а/е/о/р/с/х, Greek Α/Β/Ε... render pixel-identically to Latin in
+    DejaVu), which would put an unlearnable ambiguity floor under CER —
+    a glyph-recognition model cannot tell identical images apart. Keep
+    the first character per distinct glyph bitmap."""
     f = ImageFont.truetype(fontpath, 32)
     out = []
+    seen = set()
     for lo, hi in ((0x41, 0x5B), (0x61, 0x7B), (0x30, 0x3A),
                    (0xC0, 0x100), (0x100, 0x180),
                    (0x391, 0x3A2), (0x3A3, 0x3CA), (0x410, 0x450)):
@@ -45,8 +52,13 @@ def big_charset(fontpath):
             if not (unicodedata.category(ch).startswith("L") or ch.isdigit()):
                 continue
             m = f.getmask(ch)
-            if m.size[0] > 0 and m.size[1] > 0:
-                out.append(ch)
+            if m.size[0] == 0 or m.size[1] == 0:
+                continue
+            key = (m.size, bytes(m))
+            if key in seen:
+                continue
+            seen.add(key)
+            out.append(ch)
     return "".join(out)
 
 def make_gen(seed):

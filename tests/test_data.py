@@ -89,6 +89,24 @@ def test_line_generator_and_dataset(tmp_path):
     assert codec.decode(ids) == "".join(ch for ch in t if ord(ch) in codec._enc)
 
 
+def test_renderable_charset_dedupes_homoglyphs():
+    from clstm_tpu.data.lines import _find_fonts, renderable_charset
+    fonts = _find_fonts()
+    if not fonts:
+        pytest.skip("no truetype fonts in image")
+    full = renderable_charset(fonts[0], dedupe_glyphs=False)
+    dedup = renderable_charset(fonts[0])
+    # Latin/Greek/Cyrillic share homoglyphs; dedup must remove some but
+    # keep a genuinely large alphabet.
+    assert len(dedup) < len(full)
+    assert len(dedup) >= 300
+    assert len(set(dedup)) == len(dedup)
+    # Cyrillic 'а' (U+0430) renders identically to Latin 'a' in DejaVu —
+    # the canonical homoglyph must be gone while Latin 'a' stays.
+    if "а" in full:
+        assert "a" in dedup and "а" not in dedup
+
+
 def test_png_round_trip(tmp_path):
     img = np.linspace(0, 1, 64 * 32, dtype=np.float32).reshape(32, 64)
     f = str(tmp_path / "t.png")

@@ -177,11 +177,11 @@ def bench_e2e() -> dict:
             trials += nreal
             if report and trials >= nxt:
                 nxt += report_every
-                # the CLI's report path: decode one row on host
+                # the CLI's report path: one packed transfer, decode on host
+                from clstm_tpu.train import unpack_report
                 L = int(np.asarray(
                     batch.get("host_lengths", batch["lengths"]))[0])
-                ids = np.asarray(m["report_ids"])[:L]
-                vals = np.asarray(m["report_vals"])[:L]
+                _, ids, vals = unpack_report(m["report"], L)
                 codec.decode(decode_frames(ids, vals))
         float(m["loss"])  # sync
         return trials

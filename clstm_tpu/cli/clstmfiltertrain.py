@@ -23,6 +23,7 @@ import numpy as np
 
 from clstm_tpu.models.codec import Codec
 from clstm_tpu.models.hl import CLSTMText
+from clstm_tpu.train import unpack_report
 from clstm_tpu.utils.config import getdenv, getienv, getsenv
 from clstm_tpu.utils.metrics import levenshtein
 
@@ -76,17 +77,17 @@ def train_batched(model: CLSTMText, train_pairs, test_pairs, *, ntrain,
             if trials >= next_report:
                 next_report += report_every
                 L = batch["lengths"][0]
-                # row 0 pre-sliced inside the jitted step (cheap transfer)
-                ids = np.asarray(m["report_ids"])[:L]
-                vals = np.asarray(m["report_vals"])[:L]
+                # packed report (loss + row-0 ids/vals, pre-sliced inside
+                # the jitted step): ONE host transfer (train.unpack_report)
+                loss, ids, vals = unpack_report(m["report"], L)
                 pred = model.codec.decode(decode_frames(ids, vals))
                 rate = trials / (time.time() - t0)
-                print(f"{trials} {float(m['loss']):.4f} ({rate:.1f} pairs/s)")
+                print(f"{trials} {loss:.4f} ({rate:.1f} pairs/s)")
                 print(f"   TRU: {batch['texts'][0]!r}")
                 print(f"   OUT: {pred!r}", flush=True)
                 if jsonl:
                     jsonl.write(json.dumps({
-                        "trial": trials, "loss": float(m["loss"]),
+                        "trial": trials, "loss": loss,
                         "pairs_per_sec": rate}) + "\n")
                     jsonl.flush()
             if test_pairs and trials >= next_test:

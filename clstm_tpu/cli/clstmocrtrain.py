@@ -57,6 +57,7 @@ import numpy as np
 from clstm_tpu.data.dataset import OcrDataset, make_batches, pad_batch_rows
 from clstm_tpu.models.hl import CLSTMOCR
 from clstm_tpu.ops.ctc import decode_frames
+from clstm_tpu.train import unpack_report
 from clstm_tpu.utils.config import getdenv, getienv, getsenv
 from clstm_tpu.utils.metrics import levenshtein
 
@@ -227,14 +228,15 @@ def main(argv=None) -> int:
                 b = 0
                 L = int(np.asarray(
                     batch.get("host_lengths", batch["lengths"]))[b])
-                # report_ids/vals are row 0 pre-sliced inside the jitted
-                # step (full [B, T] transfers cost ~65ms on the tunneled
-                # link; eager slicing costs a per-op dispatch).
-                ids = np.asarray(m["report_ids"])[:L]
-                vals = np.asarray(m["report_vals"])[:L]
+                # The packed report (loss + row-0 ids/vals, sliced inside
+                # the jitted step) is read in ONE host transfer — full
+                # [B, T] transfers cost ~65ms on the tunneled link, eager
+                # slicing a per-op dispatch, and three separate small
+                # transfers three round-trips (train.unpack_report).
+                loss, ids, vals = unpack_report(m["report"], L)
                 pred = codec.decode(decode_frames(ids, vals))
                 rate = trials / (time.time() - t0)
-                print(f"{trials} {float(m['loss']):.4f} ({rate:.1f} lines/s)")
+                print(f"{trials} {loss:.4f} ({rate:.1f} lines/s)")
                 print(f"   TRU: {batch['texts'][b]!r}")
                 print(f"   OUT: {pred!r}", flush=True)
                 if codec.dropped and not warned_drops:
@@ -244,11 +246,11 @@ def main(argv=None) -> int:
                           "(deflates apparent CER)", flush=True)
                 if jsonl:
                     jsonl.write(json.dumps({
-                        "trial": trials, "loss": float(m["loss"]),
+                        "trial": trials, "loss": loss,
                         "lines_per_sec": rate}) + "\n")
                     jsonl.flush()
                 if display is not None:
-                    display.add_loss(trials, float(m["loss"]))
+                    display.add_loss(trials, loss)
             if test_samples and trials >= next_test:
                 next_test += test_every
                 err = evaluate(ocr, test_cache if test_cache is not None

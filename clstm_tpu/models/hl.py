@@ -29,7 +29,7 @@ from clstm_tpu.models.prefab import make_net
 from clstm_tpu.models.spec import NetSpec, init_net
 from clstm_tpu.ops.ctc import decode_frames, mktargets_ids
 from clstm_tpu.train import (
-    TrainState, make_predict_step, make_train_step)
+    TrainState, make_predict_step, make_train_step, unpack_report)
 
 
 def _canon_dewarp(kind: str) -> str:
@@ -230,8 +230,7 @@ class CLSTMOCR(_TrainableBase):
         classes = self.codec.encode(gt)
         batch = self._one_line_batch(x, classes)
         metrics = self.train_batch(batch)
-        ids = np.asarray(metrics["report_ids"])[: x.shape[0]]
-        vals = np.asarray(metrics["report_vals"])[: x.shape[0]]
+        _, ids, vals = unpack_report(metrics["report"], x.shape[0])
         return self.codec.decode(decode_frames(ids, vals))
 
     def predict_utf8(self, image: np.ndarray) -> str:
@@ -351,8 +350,7 @@ class CLSTMText(_TrainableBase):
         x = self.encode_input(inp)
         batch = self._one_batch(x, self.codec.encode(out))
         metrics = self.train_batch(batch)
-        ids = np.asarray(metrics["report_ids"])[: x.shape[0]]
-        vals = np.asarray(metrics["report_vals"])[: x.shape[0]]
+        _, ids, vals = unpack_report(metrics["report"], x.shape[0])
         return self.codec.decode(decode_frames(ids, vals))
 
     def predict(self, inp: str) -> str:

@@ -82,11 +82,15 @@ def make_parallel_train_step(spec: NetSpec, mesh: Mesh,
         first = (jax.lax.axis_index(axis) == 0)
         rep_ids = jax.lax.psum(jnp.where(first, ids[0], 0), axis)
         rep_vals = jax.lax.psum(jnp.where(first, vals[0], 0.0), axis)
+        f32 = jnp.float32
+        packed = jnp.concatenate([loss.reshape(1).astype(f32),
+                                  rep_ids.astype(f32), rep_vals.astype(f32)])
         new_state = TrainState(params=params, velocity=velocity,
                                step=state.step + 1)
         return new_state, {"loss": loss, "frame_ids": ids,
                            "frame_vals": vals,
-                           "report_ids": rep_ids, "report_vals": rep_vals}
+                           "report_ids": rep_ids, "report_vals": rep_vals,
+                           "report": packed}
 
     batch_specs = {"x": P(axis), "lengths": P(axis),
                    "targets": P(axis), "target_lengths": P(axis)}
@@ -98,7 +102,8 @@ def make_parallel_train_step(spec: NetSpec, mesh: Mesh,
         in_specs=(P(), batch_specs, P(), P()),
         out_specs=(P(), {"loss": P(), "frame_ids": P(axis),
                          "frame_vals": P(axis),
-                         "report_ids": P(), "report_vals": P()}),
+                         "report_ids": P(), "report_vals": P(),
+                         "report": P()}),
         # The scan carries inside lstm_apply start replicated and become
         # axis-varying on first use; keep the compute kernels mesh-agnostic
         # rather than threading pvary through them.

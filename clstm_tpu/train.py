@@ -143,6 +143,25 @@ def clip_by_global_norm(grads: dict, max_norm: float) -> dict:
     return jax.tree.map(lambda g: g * scale, grads)
 
 
+def unpack_report(report, L: Optional[int] = None):
+    """Unpack a step's packed ``report`` metric in ONE host transfer.
+
+    report = [loss, ids[0][:T], vals[0][:T]] as f32 (see make_train_step).
+    Returns (loss, ids[:L] int64, vals[:L]). Separate np.asarray/float()
+    calls on device arrays each cost a full round-trip (~30-60ms on a
+    tunneled chip); reading reports through this helper costs exactly one.
+    """
+    import numpy as np
+
+    rep = np.asarray(report)
+    T = (rep.shape[0] - 1) // 2
+    ids = rep[1:1 + T].astype(np.int64)
+    vals = rep[1 + T:]
+    if L is not None:
+        ids, vals = ids[:L], vals[:L]
+    return float(rep[0]), ids, vals
+
+
 def make_train_step(spec: NetSpec, lr: float = 1e-4, momentum: float = 0.9, *,
                     loss_kind: str = "ctc",
                     normalization: str = "none", compute_dtype=None,
@@ -187,8 +206,18 @@ def make_train_step(spec: NetSpec, lr: float = 1e-4, momentum: float = 0.9, *,
         # arrays costs ~65ms over the tunneled link and an eager on-device
         # slice costs a pathological per-op dispatch (round-2 measurement:
         # e2e 4073 -> 2203 lines/s with eager slicing).
+        # "report" additionally PACKS (loss, row-0 ids, row-0 vals) into
+        # ONE f32 vector: every separate np.asarray/float() on a device
+        # array is a full host round-trip (~30-60ms on a tunneled chip),
+        # so the CLI report path reads a single array instead of three
+        # (round-3 measurement: each report cost 3 RTTs ~ 100-180ms).
+        # Class ids are exactly representable in f32 (codecs are << 2^24).
+        f32 = jnp.float32
+        packed = jnp.concatenate([loss.reshape(1).astype(f32),
+                                  ids[0].astype(f32), vals[0].astype(f32)])
         metrics = {"loss": loss, "frame_ids": ids, "frame_vals": vals,
-                   "report_ids": ids[0], "report_vals": vals[0]}
+                   "report_ids": ids[0], "report_vals": vals[0],
+                   "report": packed}
         new_state = TrainState(params=params, velocity=velocity,
                                step=state.step + 1)
         return new_state, metrics

@@ -25,6 +25,7 @@ bench_net=bidi bench_nhidden=100 bench_nclasses=96 (set net=bidi2
 nhidden=200 nclasses=400 for the config-4 deep large-alphabet profile).
 
 bench_mode selects what runs (default "all"):
+  infer   batched inference (serving) rate via the jitted predict step
   all     device-step headline + e2e + dp1 in ONE JSON line
   device  resident-batch device-step rate only (kernel metric)
   e2e     END-TO-END clstmocrtrain rate only: the real CLI hot loop — host
@@ -378,10 +379,56 @@ def bench_device() -> dict:
     return out
 
 
+def bench_infer() -> dict:
+    """Batched inference (serving) rate: the jitted predict step used by
+    clstmocr's bucketed page inference (make_predict_step -> per-frame
+    argmax ids/vals; the host run-collapse costs ~us/line and is excluded
+    the same way the reference's stdout write would be)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from clstm_tpu.models.prefab import make_net_init
+    from clstm_tpu.train import make_predict_step
+
+    B = int(os.environ.get("bench_batch", 256))
+    T = int(os.environ.get("bench_T", 1024))
+    steps = int(os.environ.get("bench_steps", 20))
+    net = os.environ.get("bench_net", "bidi")
+    nhidden = int(os.environ.get("bench_nhidden", 100))
+    nclasses = int(os.environ.get("bench_nclasses", 96))
+    height = 48
+
+    spec, params = make_net_init(
+        net, {"ninput": height, "nhidden": nhidden, "noutput": nclasses},
+        jax.random.PRNGKey(0))
+    predict = make_predict_step(spec)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(B, T, height).astype(np.float32))
+    lengths = jnp.full((B,), 900, jnp.int32)
+
+    ids, vals = predict(params, x, lengths)
+    float(jnp.sum(vals))  # host-transfer sync (see bench_device note)
+    t0 = time.time()
+    for _ in range(steps):
+        ids, vals = predict(params, x, lengths)
+    float(jnp.sum(vals))
+    dt = time.time() - t0
+    rate = steps * B / dt
+    metric = "uw3_bidilstm_infer_lines_per_sec_per_chip"
+    if (net, nhidden, nclasses) != ("bidi", 100, 96):
+        metric = f"{net}_nh{nhidden}_nc{nclasses}_infer_lines_per_sec_per_chip"
+    return {"metric": metric, "value": round(rate, 2), "unit": "lines/sec",
+            "ms_per_batch": round(1e3 * dt / steps, 2)}
+
+
 def main() -> int:
     mode = os.environ.get("bench_mode", "all")
     if mode == "e2e":
         print(json.dumps(bench_e2e()))
+        return 0
+    if mode == "infer":
+        print(json.dumps(bench_infer()))
         return 0
     if mode == "dp1":
         print(json.dumps(bench_dp1()))

@@ -167,21 +167,23 @@ def bench_e2e() -> dict:
         trials = 0
         nxt = report_every
         batches = (make_batches(samples, codec, B, rng=rng) if stream
-                   else dcache.epoch(B, rng=rng))
+                   else dcache.epoch_refs(B, rng=rng))
         for batch in batches:
             nreal = len(batch["texts"])
             if stream:
                 m = ocr.train_batch(pad_batch_rows(batch, B))
             else:
-                m = ocr.train_batch({k: batch[k] for k in (
-                    "x", "lengths", "targets", "target_lengths")})
+                # fused gather+train: one dispatch per batch (the CLI's
+                # single-device cache path)
+                m = ocr.train_batch_refs(batch)
             trials += nreal
             if report and trials >= nxt:
                 nxt += report_every
                 # the CLI's report path: one packed transfer, decode on host
                 from clstm_tpu.train import unpack_report
                 L = int(np.asarray(
-                    batch.get("host_lengths", batch["lengths"]))[0])
+                    batch["host_lengths"] if "host_lengths" in batch
+                    else batch["lengths"])[0])
                 _, ids, vals = unpack_report(m["report"], L)
                 codec.decode(decode_frames(ids, vals))
         float(m["loss"])  # sync

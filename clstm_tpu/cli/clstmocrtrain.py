@@ -212,12 +212,20 @@ def main(argv=None) -> int:
     next_save = save_every
     next_test = test_every
     t0 = time.time()
+    # Fused gather+train (train_batch_refs) on the single-device cache
+    # path: the batch gather happens inside the jitted step, halving the
+    # dispatch count per batch. The mesh path keeps epoch() (its cache is
+    # sharded; gather placement differs), as does the no-cache path.
+    use_refs = use_cache and mesh is None
     while trials < ntrain:
-        batches = (dcache.epoch(batch_size, rng=rng) if use_cache
+        batches = (dcache.epoch_refs(batch_size, rng=rng) if use_refs
+                   else dcache.epoch(batch_size, rng=rng) if use_cache
                    else make_batches(samples, codec, batch_size, rng=rng))
         for batch in batches:
             nreal = len(batch["texts"])
-            if use_cache:
+            if use_refs:
+                m = ocr.train_batch_refs(batch)
+            elif use_cache:
                 m = ocr.train_batch({k: batch[k] for k in (
                     "x", "lengths", "targets", "target_lengths")})
             else:
@@ -227,7 +235,8 @@ def main(argv=None) -> int:
                 next_report += report_every
                 b = 0
                 L = int(np.asarray(
-                    batch.get("host_lengths", batch["lengths"]))[b])
+                    batch["host_lengths"] if "host_lengths" in batch
+                    else batch["lengths"])[b])
                 # The packed report (loss + row-0 ids/vals, sliced inside
                 # the jitted step) is read in ONE host transfer — full
                 # [B, T] transfers cost ~65ms on the tunneled link, eager

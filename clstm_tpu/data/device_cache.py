@@ -256,11 +256,31 @@ class DeviceDataset:
         rows only) and "host_lengths" [B] for reporting/decode. Rows beyond
         len(texts) are zero-length sentinel padding.
         """
-        # Build each group's full epoch index plan host-side, ship it to
-        # the device in ONE transfer per group, and walk it with an
-        # on-device batch counter — per-batch gathers are then pure async
-        # dispatches with zero host->device traffic (see _gather_at).
-        plans = []  # [group, chunks [nb, B] host, idx_all dev, j dev, used]
+        for p in self._epoch_seq(batch_size, rng, drop_remainder):
+            g = p[0]
+            chunk = p[1][p[4]]        # host copy of this batch's indices
+            p[4] += 1
+            x, targets, lengths, tlens, p[3] = self._gather_at(
+                g["x"], g["targets"], g["lengths"], g["tlens"], p[2], p[3])
+            nreal = int(np.sum(chunk < g["n"]))
+            yield {
+                "x": x, "lengths": lengths, "targets": targets,
+                "target_lengths": tlens,
+                "texts": [g["texts"][i] for i in chunk[:nreal]],
+                "host_lengths": g["host_lengths"][chunk],
+            }
+
+    def _epoch_seq(self, batch_size: int, rng, drop_remainder: bool):
+        """Per-batch plan sequence shared by epoch()/epoch_refs().
+
+        Builds each group's full epoch index plan host-side, ships it to
+        the device in ONE transfer per group, and walks it with an
+        on-device batch counter — per-batch gathers are then pure async
+        dispatches with zero host->device traffic (see _gather_at).
+        Entries are mutable: [group, chunks [nb, B] host, idx_all dev,
+        j dev, used]; consumers advance ``used`` and thread the returned
+        device counter back into slot 3."""
+        plans = []
         for g in self.groups:
             order = np.arange(g["n"])
             if rng is not None:
@@ -286,16 +306,31 @@ class DeviceDataset:
         seq = [p for p in plans for _ in range(len(p[1]))]
         if rng is not None:
             rng.shuffle(seq)
-        for p in seq:
+        return seq
+
+    def epoch_refs(self, batch_size: int,
+                   rng: Optional[np.random.RandomState] = None,
+                   drop_remainder: bool = False) -> Iterator[dict]:
+        """Like epoch(), but yields batch REFERENCES for the fused
+        gather+train step (train.make_cached_train_step): the resident
+        group dict, the epoch index plan and the on-device batch counter,
+        plus the host-side texts/host_lengths for reporting. The consumer
+        MUST write the step's returned counter back via
+        ``batch["set_j"](new_j)`` before the plan's next batch — the
+        counter lives on device so the whole batch costs one dispatch.
+        Identical rng consumption to epoch(): the two paths produce the
+        same batch sequence for the same seed."""
+        for p in self._epoch_seq(batch_size, rng, drop_remainder):
             g = p[0]
-            chunk = p[1][p[4]]        # host copy of this batch's indices
+            chunk = p[1][p[4]]
             p[4] += 1
-            x, targets, lengths, tlens, p[3] = self._gather_at(
-                g["x"], g["targets"], g["lengths"], g["tlens"], p[2], p[3])
             nreal = int(np.sum(chunk < g["n"]))
+
+            def set_j(new_j, p=p):
+                p[3] = new_j
+
             yield {
-                "x": x, "lengths": lengths, "targets": targets,
-                "target_lengths": tlens,
+                "group": g, "idx_all": p[2], "j": p[3], "set_j": set_j,
                 "texts": [g["texts"][i] for i in chunk[:nreal]],
                 "host_lengths": g["host_lengths"][chunk],
             }

@@ -69,6 +69,7 @@ class _TrainableBase:
         self.augment = 0.0         # >0 enables on-device augmentation
         self.mesh = None           # set_mesh() switches to multi-chip DP
         self._step = None
+        self._cached_step = None
         self._predict = None
 
     # -- reference API --
@@ -85,6 +86,7 @@ class _TrainableBase:
         size. ``set_mesh(None)`` reverts to single-device."""
         self.mesh = mesh
         self._step = None
+        self._cached_step = None
         self._predict = None
 
     def _ensure_compiled(self):
@@ -116,6 +118,30 @@ class _TrainableBase:
         jb = {k: jnp.asarray(v) for k, v in batch.items()
               if k in self._BATCH_KEYS}
         self.state, metrics = self._step(self.state, jb, self.lr, self.momentum)
+        return metrics
+
+    def train_batch_refs(self, ref: dict) -> dict:
+        """Fused gather+train on a DeviceDataset.epoch_refs batch: the
+        batch rows are gathered from the resident cache INSIDE the jitted
+        step, so each batch costs ONE executable dispatch (the separate
+        gather dispatch is ~20ms of RPC enqueue on a tunneled chip).
+        Single-device path only — with a mesh set, the sharded cache uses
+        epoch() + train_batch. Same metrics dict as train_batch."""
+        if self.mesh is not None:
+            raise ValueError("train_batch_refs is a single-device fast "
+                             "path; use epoch() + train_batch with a mesh")
+        self._ensure_compiled()
+        if self._cached_step is None:
+            from clstm_tpu.train import make_cached_train_step
+            self._cached_step = make_cached_train_step(
+                self.spec, self.lr, self.momentum, loss_kind="ctc",
+                normalization=self.normalization,
+                gradient_clip=self.gradient_clip, augment=self.augment,
+                donate=False)
+        self.state, metrics, new_j = self._cached_step(
+            self.state, ref["group"], ref["idx_all"], ref["j"],
+            self.lr, self.momentum)
+        ref["set_j"](new_j)
         return metrics
 
     def predict_batch(self, x: np.ndarray, lengths: np.ndarray):
@@ -171,6 +197,7 @@ class _TrainableBase:
         if icodec is not None:
             self.icodec = icodec
         self._step = None
+        self._cached_step = None
         self._predict = None
 
 
@@ -200,6 +227,7 @@ class CLSTMOCR(_TrainableBase):
         self.state = TrainState.create(
             init_net(self.spec, jax.random.PRNGKey(seed)))
         self._step = None
+        self._cached_step = None
 
     # -- preprocessing --
     def prepare(self, image: np.ndarray) -> np.ndarray:
@@ -319,6 +347,7 @@ class CLSTMText(_TrainableBase):
         self.state = TrainState.create(
             init_net(self.spec, jax.random.PRNGKey(seed)))
         self._step = None
+        self._cached_step = None
 
     def load(self, fname: str) -> None:
         super().load(fname)

@@ -162,22 +162,12 @@ def unpack_report(report, L: Optional[int] = None):
     return float(rep[0]), ids, vals
 
 
-def make_train_step(spec: NetSpec, lr: float = 1e-4, momentum: float = 0.9, *,
-                    loss_kind: str = "ctc",
-                    normalization: str = "none", compute_dtype=None,
-                    gradient_clip: float = 0.0,
-                    augment: float = 0.0, augment_seed: int = 0,
-                    donate: bool = True):
-    """Build the jitted end-to-end training step.
-
-    Returns step(state, batch, lr=, momentum=) -> (state, metrics); lr and
-    momentum are traced scalars (defaults bound here), so changing them at
-    runtime — reference setLearningRate — does NOT recompile. metrics
-    carries the scalar loss plus per-frame argmax ids/probs (tiny [B, T]
-    arrays) so the host can greedy-decode report lines without transferring
-    the full [B, T, C] posteriors. gradient_clip > 0 enables global-norm
-    clipping (non-reference stability option).
-    """
+def _make_step_fn(spec: NetSpec, loss_kind: str, normalization: str,
+                  compute_dtype, gradient_clip: float, augment: float,
+                  augment_seed: int):
+    """The pure training-step body shared by make_train_step (host-fed
+    batches) and make_cached_train_step (in-jit gather from a
+    device-resident cache group)."""
     loss_fn = _LOSSES[loss_kind]
     aug_base = jax.random.PRNGKey(augment_seed)
 
@@ -222,6 +212,27 @@ def make_train_step(spec: NetSpec, lr: float = 1e-4, momentum: float = 0.9, *,
                                step=state.step + 1)
         return new_state, metrics
 
+    return step
+
+
+def make_train_step(spec: NetSpec, lr: float = 1e-4, momentum: float = 0.9, *,
+                    loss_kind: str = "ctc",
+                    normalization: str = "none", compute_dtype=None,
+                    gradient_clip: float = 0.0,
+                    augment: float = 0.0, augment_seed: int = 0,
+                    donate: bool = True):
+    """Build the jitted end-to-end training step.
+
+    Returns step(state, batch, lr=, momentum=) -> (state, metrics); lr and
+    momentum are traced scalars (defaults bound here), so changing them at
+    runtime — reference setLearningRate — does NOT recompile. metrics
+    carries the scalar loss plus per-frame argmax ids/probs (tiny [B, T]
+    arrays) so the host can greedy-decode report lines without transferring
+    the full [B, T, C] posteriors. gradient_clip > 0 enables global-norm
+    clipping (non-reference stability option).
+    """
+    step = _make_step_fn(spec, loss_kind, normalization, compute_dtype,
+                         gradient_clip, augment, augment_seed)
     jitted = jax.jit(step, donate_argnums=(0,) if donate else ())
 
     def wrapped(state: TrainState, batch: dict, lr_arg=None, momentum_arg=None):
@@ -230,6 +241,49 @@ def make_train_step(spec: NetSpec, lr: float = 1e-4, momentum: float = 0.9, *,
                       jnp.float32(momentum if momentum_arg is None else momentum_arg))
 
     wrapped.jitted = jitted  # exposes _cache_size() for recompilation tests
+    return wrapped
+
+
+def make_cached_train_step(spec: NetSpec, lr: float = 1e-4,
+                           momentum: float = 0.9, *,
+                           loss_kind: str = "ctc",
+                           normalization: str = "none", compute_dtype=None,
+                           gradient_clip: float = 0.0,
+                           augment: float = 0.0, augment_seed: int = 0,
+                           donate: bool = True):
+    """Fused gather+train step over a device-resident cache group.
+
+    step(state, group, idx_all, j, lr=, momentum=) -> (state, metrics, j+1)
+    where ``group`` is a DeviceDataset group dict (resident x/targets/
+    lengths/tlens arrays incl. the sentinel row), ``idx_all`` the epoch's
+    [nb, B] device index plan and ``j`` the ON-DEVICE batch counter. The
+    batch gather happens INSIDE the jit, so each training batch costs ONE
+    executable dispatch instead of two (separate gather + step): on a
+    tunneled chip every dispatch enqueue pays a ~20ms RPC, which at the
+    bench shape was ~40% of the steady-state e2e epoch time. nb is stable
+    across epochs for a fixed (group, batch_size), so compilations stay
+    one per bucket group, as before."""
+    step = _make_step_fn(spec, loss_kind, normalization, compute_dtype,
+                         gradient_clip, augment, augment_seed)
+
+    def gstep(state, xs, targets, lengths, tlens, idx_all, j, lr_t, mom_t):
+        idx = jax.lax.dynamic_index_in_dim(idx_all, j, 0, keepdims=False)
+        batch = {"x": xs[idx], "lengths": lengths[idx],
+                 "targets": targets[idx], "target_lengths": tlens[idx]}
+        new_state, metrics = step(state, batch, lr_t, mom_t)
+        return new_state, metrics, j + 1
+
+    jitted = jax.jit(gstep, donate_argnums=(0, 6) if donate else ())
+
+    def wrapped(state, group: dict, idx_all, j, lr_arg=None,
+                momentum_arg=None):
+        return jitted(state, group["x"], group["targets"], group["lengths"],
+                      group["tlens"], idx_all, j,
+                      jnp.float32(lr if lr_arg is None else lr_arg),
+                      jnp.float32(momentum if momentum_arg is None
+                                  else momentum_arg))
+
+    wrapped.jitted = jitted
     return wrapped
 
 

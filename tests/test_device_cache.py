@@ -157,3 +157,38 @@ def test_from_files_trains_through_cli(tmp_path, monkeypatch):
         monkeypatch.setenv(k, v)
     assert clstmocrtrain.main([manifest, manifest]) == 0
     assert (tmp_path / "m-last.clstm").exists()
+
+
+def test_epoch_refs_trajectory_matches_epoch():
+    """The fused gather+train path (epoch_refs + train_batch_refs) must
+    produce the EXACT same parameter trajectory as epoch() + train_batch
+    for the same rng seed — same batches, same gathers, same update."""
+    import jax
+    from clstm_tpu.models.hl import CLSTMOCR
+
+    samples = _samples(n=19, seed=3)
+    codec = Codec.build([t for _, t in samples])
+
+    def train(use_refs):
+        ocr = CLSTMOCR(target_height=16, dewarp="none")
+        ocr.createBidi(codec, 12, seed=0)
+        ocr.setLearningRate(1e-3, 0.9)
+        dds = DeviceDataset(samples, codec)
+        rng = np.random.RandomState(7)
+        for _ in range(2):  # two epochs exercise the per-plan counters
+            batches = (dds.epoch_refs(8, rng=rng) if use_refs
+                       else dds.epoch(8, rng=rng))
+            for batch in batches:
+                if use_refs:
+                    m = ocr.train_batch_refs(batch)
+                else:
+                    m = ocr.train_batch({k: batch[k] for k in (
+                        "x", "lengths", "targets", "target_lengths")})
+        return ocr.state.params, m
+
+    p_ref, m_ref = train(True)
+    p_std, m_std = train(False)
+    for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_std)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(m_ref["report"]),
+                               np.asarray(m_std["report"]))

@@ -5,9 +5,15 @@ Run:  python examples/ocr_quickstart.py
 (a few minutes on a TPU chip; works on CPU too, slower)
 """
 
+import os
+import sys
 import tempfile
 
 import numpy as np
+
+# Runnable without installing: `python examples/ocr_quickstart.py` puts
+# examples/ on sys.path, not the repo root.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from clstm_tpu import CLSTMOCR
 from clstm_tpu.cli.clstmocrtrain import evaluate

@@ -117,7 +117,10 @@ def bench_e2e() -> dict:
 
     B = int(os.environ.get("bench_batch", 256))
     nlines = int(os.environ.get("bench_e2e_lines", 1024))
-    epochs = int(os.environ.get("bench_e2e_epochs", 1))
+    # 3 timed epochs by default: one epoch is a ~250ms window on the
+    # tunneled chip, where a single ~50ms RTT hiccup swings the rate by
+    # 20% (measured spread 2.9-5.0k l/s with epochs=1).
+    epochs = int(os.environ.get("bench_e2e_epochs", 3))
     report_every = int(os.environ.get("report_every", 500))
     work = os.environ.get("bench_e2e_dir", "/tmp/clstm_bench_e2e")
 

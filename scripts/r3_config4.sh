@@ -142,4 +142,8 @@ if [ "$1" = "full" ]; then
     run c4-s2 ntrain=1000000 load="$WORK/c4-s1.clstm" lrate=5e-5 randseed=1
     fresh_eval c4-s1
     fresh_eval c4-s2
+    # Stage 3: the s2 curve was still falling at 2M trials — one more
+    # cooled million.
+    run c4-s3 ntrain=1000000 load="$WORK/c4-s2.clstm" lrate=2.5e-5 randseed=2
+    fresh_eval c4-s3
 fi

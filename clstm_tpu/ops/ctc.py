@@ -194,17 +194,38 @@ def ctc_align_targets_batched(
     if target_lengths is None:
         target_lengths = jnp.full((B,), S, jnp.int32)
 
-    tvalid = jnp.arange(T)[None, :] < lengths[:, None]          # [B, T]
-    svalid = jnp.arange(S)[None, :] < target_lengths[:, None]   # [B, S]
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+
+    if use_pallas:
+        # Lane/sublane alignment for the DP kernels is applied to the TINY
+        # per-row arrays (target_ids [B,S], lengths) BEFORE anything [B,T,*]
+        # is built, so lmatch/both are born at the padded width and the
+        # former jnp.pad + slice-back copies over [B,T,S] (two full HBM
+        # round-trips at the bench shape) never happen. Padded states carry
+        # svalid=False -> lmatch=NEG -> zero path mass, identically to the
+        # sliced recipe.
+        Sp = -(-S // 128) * 128
+        Bp = -(-B // 8) * 8
+        if Sp != S:
+            target_ids = jnp.pad(target_ids, ((0, 0), (0, Sp - S)))
+        if Bp != B:
+            target_ids = jnp.pad(target_ids, ((0, Bp - B), (0, 0)))
+            lengths = jnp.pad(lengths, (0, Bp - B))
+            target_lengths = jnp.pad(target_lengths, (0, Bp - B),
+                                     constant_values=1)
+            probs = jnp.pad(probs, ((0, Bp - B), (0, 0), (0, 0)),
+                            constant_values=1.0 / C)
+
+    tvalid = jnp.arange(T)[None, :] < lengths[:, None]             # [*, T]
+    svalid = (jnp.arange(target_ids.shape[1])[None, :]
+              < target_lengths[:, None])                           # [*, S*]
 
     out = jnp.maximum(probs, lo)
     out = out / jnp.sum(out, axis=2, keepdims=True)
 
-    onehot = jax.nn.one_hot(target_ids, C, dtype=f32)                # [B, S, C]
+    onehot = jax.nn.one_hot(target_ids, C, dtype=f32)              # [*, S*, C]
     onehot = onehot * svalid[:, :, None]
-
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
 
     # lmatch[b,t,s] = log out[b,t,target_ids[b,s]]; NEG for invalid states.
     if use_pallas:
@@ -239,24 +260,15 @@ def ctc_align_targets_batched(
         # epath normalization is a single fused exp — no separate rl
         # materialization, masking, global-max or colsum passes over
         # [B,T,S]. Mathematically identical to the scan recipe below:
-        # exp(both - m)/colsum == exp(both - logsumexp_t both).
+        # exp(both - m)/colsum == exp(both - logsumexp_t both). All arrays
+        # are already at the kernel-aligned (Bp, Sp) shape (see above) —
+        # padded states are NEG throughout and fall out of the aligned
+        # einsum as exact zeros via the zeroed onehot rows, so no [B,T,S]
+        # pad or slice-back copies are needed.
         from clstm_tpu.ops.pallas_ctc import ctc_both_pallas, ctc_forward_pallas
-        Sp = -(-S // 128) * 128
-        Bp = -(-B // 8) * 8
-        lm = lmatch
-        if Sp != S:
-            lm = jnp.pad(lm, ((0, 0), (0, 0), (0, Sp - S)),
-                         constant_values=NEG)
-        lens, tl = lengths, target_lengths
-        if Bp != B:
-            lm = jnp.pad(lm, ((0, Bp - B), (0, 0), (0, 0)),
-                         constant_values=NEG)
-            lens = jnp.pad(lens, (0, Bp - B))
-            tl = jnp.pad(tl, (0, Bp - B), constant_values=1)
-        lr = ctc_forward_pallas(lm, lens, skip=skip)
-        both, lse = ctc_both_pallas(lm, lr, lens, tl, skip=skip)
-        both = both[:B, :, :S]
-        lse = lse[:B, :S]
+        lr = ctc_forward_pallas(lmatch, lengths, skip=skip)
+        both, lse = ctc_both_pallas(lmatch, lr, lengths, target_lengths,
+                                    skip=skip)
         # Guard: all-NEG (t, s) columns (invalid states / fully padded
         # rows) must yield exactly zero path mass, as the scan path's
         # col==0 guard does.
@@ -281,7 +293,7 @@ def ctc_align_targets_batched(
                          precision=jax.lax.Precision.HIGHEST)
     aligned = jnp.maximum(aligned, lo)
     aligned = aligned / jnp.sum(aligned, axis=2, keepdims=True)
-    return aligned
+    return aligned[:B]
 
 
 def ctc_align_targets(probs: jax.Array, targets: jax.Array, *, skip: float = SKIP,

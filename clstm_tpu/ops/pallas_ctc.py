@@ -63,20 +63,25 @@ def _kernel(lm_ref, out_ref, v_ref, *, skip: float, t_chunk: int):
         j = jax.lax.broadcasted_iota(jnp.int32, v_ref.shape, 1)
         v_ref[:, :] = skip * j.astype(jnp.float32)
 
-    def body(r, _):
+    col0 = jax.lax.broadcasted_iota(jnp.int32, v_ref.shape, 1) == 0
+
+    def body(r, v):
         i = (tc * t_chunk + r).astype(jnp.float32)  # global frame index
-        v = v_ref[:, :]
         lm = lm_ref[:, r, :]
         # w = roll(v, 1) with w[0] = skip * i
         w = pltpu.roll(v, 1, axis=1)
-        col = jax.lax.broadcasted_iota(jnp.int32, (v.shape[0], S), 1)
-        w = jnp.where(col == 0, skip * i, w)
+        w = jnp.where(col0, skip * i, w)
         v_new = jnp.logaddexp(v + lm, w + lm)
-        v_ref[:, :] = v_new
         out_ref[:, r, :] = v_new
-        return _
+        return v_new
 
-    jax.lax.fori_loop(0, t_chunk, body, None)
+    # Fully unrolled, carry in registers: the DP is VPU-latency-bound
+    # (~1.3us/step at the bench shape for ~10 vector ops + 1 logaddexp on
+    # [256,128]); loop bookkeeping and the per-step VMEM round-trip of the
+    # carry are a measurable slice of that. The scratch ref persists the
+    # carry only across T-chunks of the grid.
+    v_ref[:, :] = jax.lax.fori_loop(0, t_chunk, body, v_ref[:, :],
+                                    unroll=True)
 
 
 def _bwd_kernel(lm_ref, lr_ref, len_ref, tlen_ref, out_ref, lse_ref,
@@ -121,38 +126,44 @@ def _bwd_kernel(lm_ref, lr_ref, len_ref, tlen_ref, out_ref, lse_ref,
             a_ref[:, :] = jnp.zeros_like(a_ref)
 
     nT = pl.num_programs(1)
+    lv = expand(len_ref[:, :])  # loop-invariant: true frame counts [Bt, S]
+    bcol = col == tlen - 1.0    # loop-invariant: boundary column mask
 
-    def body(rr, _):
+    def body(rr, carry):
+        v, mlse, alse = carry
         r = t_chunk - 1 - rr
         t = ((nT - 1 - tc) * t_chunk + r).astype(jnp.float32)
-        v = v_ref[:, :]
         lm = lm_ref[:, r, :]
-        lv = expand(len_ref[:, :])
         # w[s] = u_{t+1}[s+1], with the boundary column s == tlen-1 set to
         # skip * (len - 1 - t). (pltpu.roll requires non-negative shifts:
         # roll by S-1 == roll by -1.)
         w = pltpu.roll(v, S - 1, axis=1)
-        w = jnp.where(col == tlen - 1.0, skip * (lv - 1.0 - t), w)
+        w = jnp.where(bcol, skip * (lv - 1.0 - t), w)
         v_new = jnp.logaddexp(v + lm, w + lm)
         m = (lv > t).astype(jnp.float32)
         v_next = m * v_new + (1.0 - m) * v
-        v_ref[:, :] = v_next
         if fuse_both:
             both = jnp.where(m > 0.0, lr_ref[:, r, :] + v_next, NEG)
             out_ref[:, r, :] = both
-            mx = jnp.maximum(m_ref[:, :], both)
-            a_ref[:, :] = (a_ref[:, :] * jnp.exp(m_ref[:, :] - mx)
-                           + jnp.exp(both - mx))
-            m_ref[:, :] = mx
+            mx = jnp.maximum(mlse, both)
+            alse = alse * jnp.exp(mlse - mx) + jnp.exp(both - mx)
+            mlse = mx
         else:
             out_ref[:, r, :] = v_next
-        return _
+        return v_next, mlse, alse
 
-    jax.lax.fori_loop(0, t_chunk, body, None)
+    # Unrolled with register-resident carries — see _kernel. The m/a
+    # running-lse pair only touches VMEM at chunk boundaries.
+    init = (v_ref[:, :], m_ref[:, :], a_ref[:, :])
+    v_fin, m_fin, a_fin = jax.lax.fori_loop(0, t_chunk, body, init,
+                                            unroll=True)
+    v_ref[:, :] = v_fin
     if fuse_both:
+        m_ref[:, :] = m_fin
+        a_ref[:, :] = a_fin
         # Running pair is complete only after the last chunk; earlier
         # writes to the VMEM-resident block are harmlessly overwritten.
-        lse_ref[:, :] = m_ref[:, :] + jnp.log(jnp.maximum(a_ref[:, :], 1e-30))
+        lse_ref[:, :] = m_fin + jnp.log(jnp.maximum(a_fin, 1e-30))
 
 
 def _bwd_call(lmatch, lr, lengths, target_lengths, *, skip, b_tile, t_chunk,

@@ -3,14 +3,16 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "lines/sec", "vs_baseline": N/proxy,
    "ms_per_step": ..., "model_tflops_per_step": ..., "pct_peak_bf16": ...,
-   "e2e": {...}, "dp1": {...}}
+   "e2e": {...}, "dp1": {...}, "infer": {...}}
 
 The headline metric/value is the resident-batch device-step rate; the same
 line carries the end-to-end CLI rate ("e2e" — the north-star train metric
-through the real clstmocrtrain hot loop) and the shard_map-1-device mesh
-overhead guard ("dp1", ratio target >0.95), plus ms/step + an analytic
-model-FLOPs estimate and % of the chip's bf16 peak so "fast" stays
-calibrated as shapes change (round-2 verdict items 3/10).
+through the real clstmocrtrain hot loop, median of timed epochs), the
+batched inference rate ("infer" — the north star's serving half), and the
+shard_map-1-device mesh overhead guard ("dp1", median-of-k INTERLEAVED
+plain/DP leg ratio, target >0.95 — single-shot ratios flip with tunnel
+weather), plus ms/step + an analytic model-FLOPs estimate and % of the
+chip's bf16 peak so "fast" stays calibrated as shapes change.
 
 Profile matches BASELINE.json's north-star config: bidi LSTM (nhidden=100
 per direction), target_height=48, ~900-frame lines (bucketed to 1024),
@@ -26,7 +28,7 @@ nhidden=200 nclasses=400 for the config-4 deep large-alphabet profile).
 
 bench_mode selects what runs (default "all"):
   infer   batched inference (serving) rate via the jitted predict step
-  all     device-step headline + e2e + dp1 in ONE JSON line
+  all     device-step headline + e2e + dp1 + infer in ONE JSON line
   device  resident-batch device-step rate only (kernel metric)
   e2e     END-TO-END clstmocrtrain rate only: the real CLI hot loop — host
           batching, device cache, jitted step, periodic report decode — on
@@ -160,49 +162,83 @@ def bench_e2e() -> dict:
 
     rng = np.random.RandomState(0)
     stream = os.environ.get("bench_e2e_stream", "0") not in ("0", "")
+    block_k = int(os.environ.get("steps_per_dispatch", 16))
     dcache = None if stream else DeviceDataset(samples, codec)
 
-    def one_epoch(report: bool) -> int:
-        """The clstmocrtrain hot loop: device-cache epoch by default (the
-        CLI's cache=auto path — streaming over the tunneled link is H2D
-        bound at 31 MB/s, measured 170 lines/s vs 15.2k resident);
-        bench_e2e_stream=1 forces the host-streaming path."""
+    def one_run(report: bool = True) -> int:
+        """The clstmocrtrain hot loop: block_k EPOCHS per run via
+        multi-step fused dispatches over the device cache (the CLI's
+        cache=auto single-device path: K batches per dispatch via
+        lax.scan over the on-device multi-epoch plan — epochs == k makes
+        every block full-size; reports at report_every cadence are read
+        one block deferred so the RTT overlaps compute — see
+        cli/clstmocrtrain.py); bench_e2e_stream=1 forces the
+        host-streaming path (H2D bound at 31 MB/s over the tunneled
+        link: 170 lines/s vs 15.2k resident), one epoch per run."""
+        from clstm_tpu.train import unpack_report
         trials = 0
         nxt = report_every
-        batches = (make_batches(samples, codec, B, rng=rng) if stream
-                   else dcache.epoch_refs(B, rng=rng))
-        for batch in batches:
-            nreal = len(batch["texts"])
-            if stream:
+        if stream:
+            m = None
+            for batch in make_batches(samples, codec, B, rng=rng):
                 m = ocr.train_batch(pad_batch_rows(batch, B))
-            else:
-                # fused gather+train: one dispatch per batch (the CLI's
-                # single-device cache path)
-                m = ocr.train_batch_refs(batch)
-            trials += nreal
-            if report and trials >= nxt:
-                nxt += report_every
-                # the CLI's report path: one packed transfer, decode on host
-                from clstm_tpu.train import unpack_report
-                L = int(np.asarray(
-                    batch["host_lengths"] if "host_lengths" in batch
-                    else batch["lengths"])[0])
-                _, ids, vals = unpack_report(m["report"], L)
+                trials += len(batch["texts"])
+                if report and trials >= nxt:
+                    while nxt <= trials:
+                        nxt += report_every
+                    L = int(np.asarray(batch["lengths"])[0])
+                    _, ids, vals = unpack_report(m["report"], L)
+                    codec.decode(decode_frames(ids, vals))
+            float(m["loss"])  # sync
+            return trials
+
+        pending = None
+
+        def flush():
+            nonlocal pending
+            if pending is None:
+                return
+            m, crossings, btexts, bhls = pending
+            pending = None
+            rep = np.asarray(m["report_all"])
+            for tr, s in crossings:
+                L = int(bhls[s][0])
+                _, ids, vals = unpack_report(rep[s], L)
                 codec.decode(decode_frames(ids, vals))
+
+        for block in dcache.epoch_blocks(B, block_k, rng=rng,
+                                         epochs=block_k):
+            m = ocr.train_batch_block(block)
+            flush()  # previous block's report — overlaps this dispatch
+            crossings = []
+            for s, n in enumerate(block["nreal_per"]):
+                trials += n
+                if report and trials >= nxt:
+                    while nxt <= trials:
+                        nxt += report_every
+                    crossings.append((trials, s))
+            if crossings:
+                pending = (m, crossings, block["texts"],
+                           block["host_lengths"])
+        flush()
         float(m["loss"])  # sync
         return trials
 
-    one_epoch(report=True)          # warmup epoch (compiles all buckets)
-    t0 = time.time()
-    total = 0
-    for _ in range(epochs):
-        total += one_epoch(report=True)
-    rate = total / (time.time() - t0)
+    one_run(report=True)            # warmup run (compiles all buckets)
+    rates = []
+    for _ in range(epochs):         # timed reps (median — a single ~50ms
+        t0 = time.time()            # RTT hiccup swings a short run's rate
+        n = one_run(report=True)    # ~20% on the tunneled chip; round-3
+        rates.append(n / (time.time() - t0))  # verdict: medians, not sums)
+    rates.sort()
+    rate = rates[len(rates) // 2]
     return {
         "metric": "uw3_clstmocrtrain_e2e_train_lines_per_sec_per_chip",
         "value": round(rate, 2),
         "unit": "lines/sec",
         "vs_baseline": round(rate / get_baseline(), 2),
+        "run_rates": [round(r, 1) for r in rates],
+        "steps_per_dispatch": block_k,
     }
 
 
@@ -240,31 +276,52 @@ def bench_dp1() -> dict:
         "target_lengths": jnp.full((B,), S, jnp.int32),
     }
 
-    def rate_of(step):
-        # fresh param copies: both steps donate their state buffers.
-        # TWO warmup steps: the second runs with the fed-back (committed)
-        # state, so any sharding-signature retrace lands here, not in the
-        # timed loop.
-        state = TrainState.create(jax.tree.map(jnp.copy, params))
-        for _ in range(2):
-            state, m = step(state, batch)
-        float(m["loss"])
+    # INTERLEAVED legs, median-of-k ratio: two separately-timed single
+    # legs on a tunnel with ±15% weather read "regressed" or "improved"
+    # by luck (round-3 verdict weak #1: the single-shot guard recorded
+    # 0.92 and 1.05 on consecutive runs of identical code). Alternating
+    # plain/DP legs back-to-back puts both under the same weather; the
+    # median of per-pair ratios is the guard.
+    reps = int(os.environ.get("bench_dp1_reps", 3))
+    plain_step = make_train_step(spec, lr=1e-4, momentum=0.9,
+                                 loss_kind="ctc")
+    mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+    dp_step = make_parallel_train_step(spec, mesh, lr=1e-4, momentum=0.9,
+                                       loss_kind="ctc")
+
+    def make_state():
+        return TrainState.create(jax.tree.map(jnp.copy, params))
+
+    # TWO warmup steps each: the second runs with the fed-back (committed)
+    # state, so any sharding-signature retrace lands here, not in the
+    # timed loop.
+    ps, ds = make_state(), make_state()
+    for _ in range(2):
+        ps, mp = plain_step(ps, batch)
+        ds, md = dp_step(ds, batch)
+    float(mp["loss"]), float(md["loss"])
+
+    def leg(step, state):
         t0 = time.time()
         for _ in range(steps):
             state, m = step(state, batch)
         float(m["loss"])
-        return steps * B / (time.time() - t0)
+        return state, time.time() - t0
 
-    plain = rate_of(make_train_step(spec, lr=1e-4, momentum=0.9,
-                                    loss_kind="ctc"))
-    mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
-    dp = rate_of(make_parallel_train_step(spec, mesh, lr=1e-4, momentum=0.9,
-                                          loss_kind="ctc"))
+    ratios, dp_rates = [], []
+    for _ in range(reps):
+        ps, tp = leg(plain_step, ps)
+        ds, td = leg(dp_step, ds)
+        dp_rates.append(steps * B / td)
+        ratios.append(tp / td)   # dp_rate / plain_rate
+    ratios.sort()
+    dp_rates.sort()
     return {
         "metric": "dp_shardmap1_vs_plain_train_lines_per_sec",
-        "value": round(dp, 2),
+        "value": round(dp_rates[len(dp_rates) // 2], 2),
         "unit": "lines/sec",
-        "vs_baseline": round(dp / plain, 4),
+        "vs_baseline": round(ratios[len(ratios) // 2], 4),
+        "ratios": [round(r, 4) for r in ratios],
     }
 
 
@@ -443,10 +500,12 @@ def main() -> int:
         return 0
     result = bench_device()
     if mode == "all":
-        # One line, all three driver-audited metrics (round-2 verdict
-        # item 4): e2e + dp1 ride along as nested objects; a failure in
-        # either must not lose the headline.
-        for name, fn in (("e2e", bench_e2e), ("dp1", bench_dp1)):
+        # One line, all four driver-audited metrics: e2e + dp1 + infer
+        # ride along as nested objects (the north star is train+INFER
+        # lines/sec — round-3 verdict weak #4); a failure in any must not
+        # lose the headline.
+        for name, fn in (("e2e", bench_e2e), ("dp1", bench_dp1),
+                         ("infer", bench_infer)):
             try:
                 result[name] = fn()
             except Exception as e:  # pragma: no cover - defensive

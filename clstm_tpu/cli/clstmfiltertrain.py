@@ -150,6 +150,22 @@ def main(argv=None) -> int:
             if c is not None and c.dropped:
                 print(f"# WARNING [{name}]: {c.dropped_report()}")
 
+    # Over-bucket truncation accounting (mirrors clstmocrtrain): inputs
+    # longer than the largest text T bucket lose frames; outputs whose
+    # blank-interleaved targets overflow S_BUCKETS train toward a
+    # TRUNCATED string.
+    from clstm_tpu.data.dataset import (S_BUCKETS, TEXT_T_BUCKETS,
+                                        truncation_report)
+    k = model.input_repeat
+    t_over = sum(len(model.icodec.encode(a)) * k > TEXT_T_BUCKETS[-1]
+                 for a, _ in train_pairs)
+    s_over = sum(2 * len(model.codec.encode(b)) + 1 > S_BUCKETS[-1]
+                 for _, b in train_pairs)
+    if t_over or s_over:
+        print("# WARNING: "
+              + truncation_report(t_over, s_over, TEXT_T_BUCKETS, S_BUCKETS),
+              flush=True)
+
     # Multi-chip DP (mirrors clstmocrtrain's mesh= wiring): only on the
     # batched path, where batch rows can shard over the mesh.
     mesh_n = getienv("mesh", 0)

@@ -37,6 +37,17 @@ TPU-native additions (no reference equivalent):
                      ~free. Implies cache=device. Bucketing uses the
                      host-side width estimate, so batch grouping can
                      differ slightly from the host-prepared path.
+  steps_per_dispatch=0  K training batches fused into ONE device dispatch
+                     (lax.scan over the on-device epoch plan; single-device
+                     cache path). 0 = auto (K<=16, clamped so save/test
+                     cadence overshoots by at most ~one period); 1 = the
+                     one-step path. Each dispatch enqueue costs ~20-36ms
+                     of host RPC on a tunneled chip, so K>1 is the
+                     difference between an enqueue-bound and a
+                     compute-bound CLI. Reports keep their report_every
+                     cadence (the dispatch returns every step's packed
+                     report; reads are deferred one block so the RTT
+                     overlaps compute).
   cache=auto         device|host|auto — device keeps the prepared corpus
                      resident in HBM and gathers batches on device (the
                      host->device link is otherwise the pipeline
@@ -116,6 +127,7 @@ def main(argv=None) -> int:
     initial = getdenv("initial", 0.0)  # weight init scale (0 = default)
     augment = getdenv("augment", 0.0)  # on-device augmentation strength
     mesh_n = getienv("mesh", 0)        # devices for DP (0 = all, 1 = off)
+    steps_per_dispatch = getienv("steps_per_dispatch", 0)  # 0 = auto K
 
     train_ds = OcrDataset(argv[0], target_height=target_height, dewarp=dewarp)
     test_ds = (OcrDataset(argv[1], target_height=target_height, dewarp=dewarp)
@@ -199,6 +211,18 @@ def main(argv=None) -> int:
         print(f"# device cache: {dcache.nbytes / 1e6:.0f} MB resident",
               flush=True)
 
+    # Over-bucket truncation accounting (the reference handles arbitrary
+    # per-line lengths — clstmocrtrain.cc ≈L100; our bucketed shapes clamp
+    # at the largest bucket, which silently corrupts the training TARGET
+    # when a transcript overflows S_BUCKETS[-1]).
+    from clstm_tpu.data.dataset import count_truncations, truncation_report
+    if dcache is not None:
+        t_over, s_over = dcache.t_truncated, dcache.s_truncated
+    else:
+        t_over, s_over = count_truncations(samples, codec)
+    if t_over or s_over:
+        print(f"# WARNING: {truncation_report(t_over, s_over)}", flush=True)
+
     rng = np.random.RandomState(randseed)
     jsonl = open(log_jsonl, "a") if log_jsonl else None
     display = None
@@ -212,56 +236,103 @@ def main(argv=None) -> int:
     next_save = save_every
     next_test = test_every
     t0 = time.time()
-    # Fused gather+train (train_batch_refs) on the single-device cache
-    # path: the batch gather happens inside the jitted step, halving the
-    # dispatch count per batch. The mesh path keeps epoch() (its cache is
-    # sharded; gather placement differs), as does the no-cache path.
-    use_refs = use_cache and mesh is None
+    # Multi-step fused dispatch (train_batch_block) on the single-device
+    # cache path: lax.scan of the gather+train body over K consecutive
+    # batches of the on-device epoch plan, so K batches cost ONE dispatch
+    # enqueue (each enqueue is ~20-36ms of host RPC on a tunneled chip —
+    # the round-3 CLI ran at 26% of the device-step rate at K=1). The mesh
+    # path keeps epoch() (its cache is sharded; gather placement differs),
+    # as does the no-cache path. steps_per_dispatch=1 forces the one-step
+    # path; 0 picks K so save/test cadence overshoot stays ~one period.
+    use_blocks = use_cache and mesh is None
+    if steps_per_dispatch > 0:
+        block_k = steps_per_dispatch
+    else:
+        block_k = max(1, min(16, save_every // batch_size,
+                             (test_every // batch_size
+                              if test_samples or test_cache else 16)))
+    pending = None  # deferred report: read AFTER the next dispatch is
+    #                 enqueued, so the ~55ms device->host round-trip
+    #                 overlaps the next block's compute instead of
+    #                 draining the pipeline (round-3 e2e attribution).
+
+    def flush_pending():
+        nonlocal pending, warned_drops
+        if pending is None:
+            return
+        m, crossings, btexts, bhls = pending
+        pending = None
+        rep = np.asarray(m["report_all"]) if "report_all" in m \
+            else np.asarray(m["report"])[None]
+        for tr, s in crossings:
+            L = int(bhls[s][0])
+            # The packed report (loss + row-0 ids/vals, sliced inside the
+            # jitted step) is read in ONE host transfer — full [B, T]
+            # transfers cost ~65ms on the tunneled link, eager slicing a
+            # per-op dispatch, and three separate small transfers three
+            # round-trips (train.unpack_report).
+            loss, ids, vals = unpack_report(rep[s], L)
+            pred = codec.decode(decode_frames(ids, vals))
+            rate = trials / (time.time() - t0)
+            print(f"{tr} {loss:.4f} ({rate:.1f} lines/s)")
+            print(f"   TRU: {btexts[s][0]!r}")
+            print(f"   OUT: {pred!r}", flush=True)
+            if codec.dropped and not warned_drops:
+                warned_drops = True
+                print(f"# WARNING: {codec.dropped_report()} — these "
+                      "characters cannot be learned or predicted "
+                      "(deflates apparent CER)", flush=True)
+            if jsonl:
+                jsonl.write(json.dumps({
+                    "trial": tr, "loss": loss,
+                    "lines_per_sec": rate}) + "\n")
+                jsonl.flush()
+            if display is not None:
+                display.add_loss(tr, loss)
+
     while trials < ntrain:
-        batches = (dcache.epoch_refs(batch_size, rng=rng) if use_refs
+        # epochs=block_k: multi-epoch plans make every block a full k
+        # batches even when a bucket group holds a single batch per epoch
+        # (real corpora: ~6 groups x 1-2 batches — without this, k>1
+        # never engages). One while-iteration then covers block_k epochs;
+        # report/test/save cadences are trial-based and unaffected.
+        batches = (dcache.epoch_blocks(batch_size, block_k, rng=rng,
+                                       epochs=block_k)
+                   if use_blocks
                    else dcache.epoch(batch_size, rng=rng) if use_cache
                    else make_batches(samples, codec, batch_size, rng=rng))
         for batch in batches:
-            nreal = len(batch["texts"])
-            if use_refs:
-                m = ocr.train_batch_refs(batch)
-            elif use_cache:
-                m = ocr.train_batch({k: batch[k] for k in (
-                    "x", "lengths", "targets", "target_lengths")})
+            if use_blocks:
+                m = ocr.train_batch_block(batch)
+                nreal_per = batch["nreal_per"]
+                btexts, bhls = batch["texts"], batch["host_lengths"]
             else:
-                m = ocr.train_batch(pad_batch_rows(batch, batch_size))
-            trials += nreal
-            if trials >= next_report:
-                next_report += report_every
-                b = 0
-                L = int(np.asarray(
-                    batch["host_lengths"] if "host_lengths" in batch
-                    else batch["lengths"])[b])
-                # The packed report (loss + row-0 ids/vals, sliced inside
-                # the jitted step) is read in ONE host transfer — full
-                # [B, T] transfers cost ~65ms on the tunneled link, eager
-                # slicing a per-op dispatch, and three separate small
-                # transfers three round-trips (train.unpack_report).
-                loss, ids, vals = unpack_report(m["report"], L)
-                pred = codec.decode(decode_frames(ids, vals))
-                rate = trials / (time.time() - t0)
-                print(f"{trials} {loss:.4f} ({rate:.1f} lines/s)")
-                print(f"   TRU: {batch['texts'][b]!r}")
-                print(f"   OUT: {pred!r}", flush=True)
-                if codec.dropped and not warned_drops:
-                    warned_drops = True
-                    print(f"# WARNING: {codec.dropped_report()} — these "
-                          "characters cannot be learned or predicted "
-                          "(deflates apparent CER)", flush=True)
-                if jsonl:
-                    jsonl.write(json.dumps({
-                        "trial": trials, "loss": loss,
-                        "lines_per_sec": rate}) + "\n")
-                    jsonl.flush()
-                if display is not None:
-                    display.add_loss(trials, loss)
-            if test_samples and trials >= next_test:
-                next_test += test_every
+                if use_cache:
+                    m = ocr.train_batch({k: batch[k] for k in (
+                        "x", "lengths", "targets", "target_lengths")})
+                else:
+                    m = ocr.train_batch(pad_batch_rows(batch, batch_size))
+                nreal_per = [len(batch["texts"])]
+                btexts = [batch["texts"]]
+                bhls = [np.asarray(batch["host_lengths"]
+                                   if "host_lengths" in batch
+                                   else batch["lengths"])]
+            # Read the PREVIOUS block's report now that this dispatch is
+            # in flight (see pending above).
+            flush_pending()
+            crossings = []
+            for s, n in enumerate(nreal_per):
+                trials += n
+                if trials >= next_report:
+                    while next_report <= trials:
+                        next_report += report_every
+                    crossings.append((trials, s))
+            if crossings:
+                pending = (m, crossings, btexts, bhls)
+            if (test_samples or test_cache) and trials >= next_test:
+                flush_pending()
+                while next_test <= trials:
+                    next_test += test_every
                 err = evaluate(ocr, test_cache if test_cache is not None
                                else test_samples, codec, batch_size)
                 print(f"TESTERR {trials} {err:.4f}", flush=True)
@@ -275,12 +346,14 @@ def main(argv=None) -> int:
                     ocr.save(save_name + ".clstm")
                     print(f"# saved best ({err:.4f}) to {save_name}.clstm")
             if trials >= next_save:
-                next_save += save_every
+                while next_save <= trials:
+                    next_save += save_every
                 ocr.save(save_name + "-last.clstm")
             if display is not None and trials % max(display_every, 1) < batch_size:
                 display.render()
             if trials >= ntrain:
                 break
+    flush_pending()
     ocr.save(save_name + "-last.clstm")
     if codec.dropped:
         print(f"# {codec.dropped_report()}")

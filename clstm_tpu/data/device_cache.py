@@ -71,10 +71,14 @@ class DeviceDataset:
                  device=None, mesh=None, axis: str = "data"):
         self._init_placement(device, mesh, axis)
         groups: dict = {}
+        self.t_truncated = self.s_truncated = 0  # over-bucket lines (see
+        #                        dataset.count_truncations; CLIs warn)
         for x, text in samples:
             classes = codec.encode(text)
             tb = bucket_for(x.shape[0], t_buckets)
             sb = bucket_for(2 * len(classes) + 1, s_buckets)
+            self.t_truncated += x.shape[0] > t_buckets[-1]
+            self.s_truncated += 2 * len(classes) + 1 > s_buckets[-1]
             groups.setdefault((tb, sb), []).append((x, text, classes))
 
         self.groups = []
@@ -182,11 +186,14 @@ class DeviceDataset:
             raws = list(pool.map(reader, files))
 
         groups: dict = {}
+        self.t_truncated = self.s_truncated = 0
         for raw, text in zip(raws, texts):
             classes = codec.encode(text)
-            tb = bucket_for(estimate_out_T([raw], target_height, pad),
-                            t_buckets)
+            est_T = estimate_out_T([raw], target_height, pad)
+            tb = bucket_for(est_T, t_buckets)
             sb = bucket_for(2 * len(classes) + 1, s_buckets)
+            self.t_truncated += est_T > t_buckets[-1]
+            self.s_truncated += 2 * len(classes) + 1 > s_buckets[-1]
             groups.setdefault((tb, sb), []).append((raw, text, classes))
 
         for (tb, sb), items in sorted(groups.items()):
@@ -270,30 +277,37 @@ class DeviceDataset:
                 "host_lengths": g["host_lengths"][chunk],
             }
 
-    def _epoch_seq(self, batch_size: int, rng, drop_remainder: bool):
-        """Per-batch plan sequence shared by epoch()/epoch_refs().
+    def _epoch_plans(self, batch_size: int, rng, drop_remainder: bool,
+                     epochs: int = 1):
+        """Per-group epoch plans shared by epoch()/epoch_refs()/
+        epoch_blocks().
 
-        Builds each group's full epoch index plan host-side, ships it to
-        the device in ONE transfer per group, and walks it with an
-        on-device batch counter — per-batch gathers are then pure async
-        dispatches with zero host->device traffic (see _gather_at).
-        Entries are mutable: [group, chunks [nb, B] host, idx_all dev,
-        j dev, used]; consumers advance ``used`` and thread the returned
-        device counter back into slot 3."""
+        Builds each group's full epoch index plan host-side (``epochs``
+        independently-shuffled epochs concatenated — multi-epoch plans
+        let K-batch blocks span epoch boundaries, which is what makes
+        blocks effective on real corpora whose groups hold only 1-2
+        batches each), ships it to the device in ONE transfer per group,
+        and walks it with an on-device batch counter — per-batch gathers
+        are then pure async dispatches with zero host->device traffic
+        (see _gather_at). Entries are mutable: [group, chunks [nb, B]
+        host, idx_all dev, j dev, used]; consumers advance ``used`` and
+        thread the returned device counter back into slot 3."""
         plans = []
         for g in self.groups:
-            order = np.arange(g["n"])
-            if rng is not None:
-                rng.shuffle(order)
             chunks = []
-            for lo in range(0, g["n"], batch_size):
-                chunk = order[lo:lo + batch_size]
-                if len(chunk) < batch_size:
-                    if drop_remainder:
-                        continue
-                    pad = np.full(batch_size - len(chunk), g["n"], np.int64)
-                    chunk = np.concatenate([chunk, pad])
-                chunks.append(chunk)
+            for _ in range(epochs):
+                order = np.arange(g["n"])
+                if rng is not None:
+                    rng.shuffle(order)
+                for lo in range(0, g["n"], batch_size):
+                    chunk = order[lo:lo + batch_size]
+                    if len(chunk) < batch_size:
+                        if drop_remainder:
+                            continue
+                        pad = np.full(batch_size - len(chunk), g["n"],
+                                      np.int64)
+                        chunk = np.concatenate([chunk, pad])
+                    chunks.append(chunk)
             if chunks:
                 idx_all = np.stack(chunks).astype(np.int32)
                 if self._repl is not None:
@@ -303,6 +317,12 @@ class DeviceDataset:
                     dev_idx = jnp.asarray(idx_all)
                     j0 = jnp.zeros((), jnp.int32)
                 plans.append([g, idx_all, dev_idx, j0, 0])
+        return plans
+
+    def _epoch_seq(self, batch_size: int, rng, drop_remainder: bool):
+        """Batch-granularity plan sequence (one entry per batch); each
+        occurrence of a plan consumes its next chunk."""
+        plans = self._epoch_plans(batch_size, rng, drop_remainder)
         seq = [p for p in plans for _ in range(len(p[1]))]
         if rng is not None:
             rng.shuffle(seq)
@@ -333,4 +353,62 @@ class DeviceDataset:
                 "group": g, "idx_all": p[2], "j": p[3], "set_j": set_j,
                 "texts": [g["texts"][i] for i in chunk[:nreal]],
                 "host_lengths": g["host_lengths"][chunk],
+            }
+
+    def epoch_blocks(self, batch_size: int, k: int,
+                     rng: Optional[np.random.RandomState] = None,
+                     drop_remainder: bool = False,
+                     epochs: int = 1) -> Iterator[dict]:
+        """Like epoch_refs(), but yields K-batch BLOCK references for the
+        multi-step fused dispatch (train.make_multi_train_step): each
+        block covers ``k`` consecutive batches of one group's epoch plan
+        (the trailing remainder of a group yields one short block), so an
+        epoch costs ~nb/k dispatch enqueues instead of nb. Shuffling is at
+        block granularity (each group's plan order is still a uniform
+        per-epoch shuffle; only the interleaving ACROSS groups coarsens),
+        so the k>1 trajectory is a different — equally valid — epoch order
+        than k=1 for the same seed.
+
+        ``epochs`` > 1 builds each group's plan over that many epochs so
+        blocks SPAN epoch boundaries — essential on real corpora, whose
+        bucket groups typically hold only 1-2 batches per epoch (the
+        round-4 bench corpus: 6 groups, 8 batches/epoch total — k>1 never
+        engaged at epochs=1). With epochs == k every group's batch count
+        is a multiple of k, so every block is full-size (one compiled
+        scan shape per group, no remainder scans).
+
+        Block dict: group/idx_all/j/set_j as epoch_refs (the consumer must
+        thread the returned counter back through set_j), plus
+          k           batches in this block (== k except group remainders)
+          nreal       total real (non-sentinel) rows across the block
+          nreal_per   [k] real rows per batch (cumulative trials within
+                      the block, for report_every crossings)
+          texts       [k] lists — per-batch real-row transcripts
+          host_lengths[k] arrays — per-batch host-side lengths
+        """
+        plans = self._epoch_plans(batch_size, rng, drop_remainder,
+                                  epochs=epochs)
+        seq = []
+        for p in plans:
+            nfull, rem = divmod(len(p[1]), k)
+            seq += [(p, k)] * nfull
+            if rem:
+                seq.append((p, rem))
+        if rng is not None:
+            rng.shuffle(seq)
+        for p, kk in seq:
+            g = p[0]
+            chunks = p[1][p[4]:p[4] + kk]
+            p[4] += kk
+            nreal_per = [int(np.sum(c < g["n"])) for c in chunks]
+
+            def set_j(new_j, p=p):
+                p[3] = new_j
+
+            yield {
+                "group": g, "idx_all": p[2], "j": p[3], "set_j": set_j,
+                "k": kk, "nreal": sum(nreal_per), "nreal_per": nreal_per,
+                "texts": [[g["texts"][i] for i in c[:n]]
+                          for c, n in zip(chunks, nreal_per)],
+                "host_lengths": [g["host_lengths"][c] for c in chunks],
             }

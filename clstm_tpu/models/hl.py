@@ -70,6 +70,7 @@ class _TrainableBase:
         self.mesh = None           # set_mesh() switches to multi-chip DP
         self._step = None
         self._cached_step = None
+        self._multi_steps = {}
         self._predict = None
 
     # -- reference API --
@@ -87,6 +88,7 @@ class _TrainableBase:
         self.mesh = mesh
         self._step = None
         self._cached_step = None
+        self._multi_steps = {}
         self._predict = None
 
     def _ensure_compiled(self):
@@ -144,6 +146,39 @@ class _TrainableBase:
         ref["set_j"](new_j)
         return metrics
 
+    def train_batch_block(self, block: dict) -> dict:
+        """K batches in ONE dispatch on a DeviceDataset.epoch_blocks block:
+        lax.scan of the fused gather+train body over ``block['k']``
+        consecutive batches of the resident epoch plan
+        (train.make_multi_train_step). On a tunneled chip each dispatch
+        enqueue costs ~20-36ms of host RPC, so K batches per dispatch is
+        the difference between an enqueue-bound and a compute-bound CLI
+        (round-3: e2e ran at 26% of the device-step rate at K=1).
+
+        One compilation per (group shape, k); remainder blocks (k <
+        steps_per_dispatch) add at most one short-scan compile per group.
+        Returns metrics {loss, report, report_all [k, 1+2T]} — see
+        make_multi_train_step. Single-device path only."""
+        if self.mesh is not None:
+            raise ValueError("train_batch_block is a single-device fast "
+                             "path; use epoch() + train_batch with a mesh")
+        self._ensure_compiled()
+        k = block["k"]
+        step = self._multi_steps.get(k)
+        if step is None:
+            from clstm_tpu.train import make_multi_train_step
+            step = make_multi_train_step(
+                self.spec, k, self.lr, self.momentum, loss_kind="ctc",
+                normalization=self.normalization,
+                gradient_clip=self.gradient_clip, augment=self.augment,
+                donate=False)
+            self._multi_steps[k] = step
+        self.state, metrics, new_j = step(
+            self.state, block["group"], block["idx_all"], block["j"],
+            self.lr, self.momentum)
+        block["set_j"](new_j)
+        return metrics
+
     def predict_batch(self, x: np.ndarray, lengths: np.ndarray):
         """-> per-frame (ids [B,T], vals [B,T]) numpy arrays.
 
@@ -198,6 +233,7 @@ class _TrainableBase:
             self.icodec = icodec
         self._step = None
         self._cached_step = None
+        self._multi_steps = {}
         self._predict = None
 
 
@@ -228,6 +264,7 @@ class CLSTMOCR(_TrainableBase):
             init_net(self.spec, jax.random.PRNGKey(seed)))
         self._step = None
         self._cached_step = None
+        self._multi_steps = {}
 
     # -- preprocessing --
     def prepare(self, image: np.ndarray) -> np.ndarray:
@@ -348,6 +385,7 @@ class CLSTMText(_TrainableBase):
             init_net(self.spec, jax.random.PRNGKey(seed)))
         self._step = None
         self._cached_step = None
+        self._multi_steps = {}
 
     def load(self, fname: str) -> None:
         super().load(fname)

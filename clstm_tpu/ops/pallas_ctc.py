@@ -75,13 +75,14 @@ def _kernel(lm_ref, out_ref, v_ref, *, skip: float, t_chunk: int):
         out_ref[:, r, :] = v_new
         return v_new
 
-    # Fully unrolled, carry in registers: the DP is VPU-latency-bound
-    # (~1.3us/step at the bench shape for ~10 vector ops + 1 logaddexp on
-    # [256,128]); loop bookkeeping and the per-step VMEM round-trip of the
-    # carry are a measurable slice of that. The scratch ref persists the
-    # carry only across T-chunks of the grid.
+    # Fully unrolled (capped at 32 — see _bwd_kernel), carry in registers:
+    # the DP is VPU-latency-bound (~1.3us/step at the bench shape for ~10
+    # vector ops + 1 logaddexp on [256,128]); loop bookkeeping and the
+    # per-step VMEM round-trip of the carry are a measurable slice of
+    # that. The scratch ref persists the carry only across T-chunks of
+    # the grid.
     v_ref[:, :] = jax.lax.fori_loop(0, t_chunk, body, v_ref[:, :],
-                                    unroll=True)
+                                    unroll=min(t_chunk, 32))
 
 
 def _bwd_kernel(lm_ref, lr_ref, len_ref, tlen_ref, out_ref, lse_ref,
@@ -153,10 +154,19 @@ def _bwd_kernel(lm_ref, lr_ref, len_ref, tlen_ref, out_ref, lse_ref,
         return v_next, mlse, alse
 
     # Unrolled with register-resident carries — see _kernel. The m/a
-    # running-lse pair only touches VMEM at chunk boundaries.
-    init = (v_ref[:, :], m_ref[:, :], a_ref[:, :])
+    # running-lse pair only touches VMEM at chunk boundaries. Without
+    # fuse_both the m/a slots are dead (the body passes them through):
+    # seed them with zeros rather than loading uninitialized scratch
+    # (round-3 advisor item). Unroll is capped at 32: t_chunk is a
+    # caller-tunable static arg and a full unroll of a larger chunk
+    # multiplies kernel code size with three [b_tile, S] carries live
+    # per step (round-3 advisor item).
+    if fuse_both:
+        init = (v_ref[:, :], m_ref[:, :], a_ref[:, :])
+    else:
+        init = (v_ref[:, :], jnp.zeros_like(m_ref), jnp.zeros_like(a_ref))
     v_fin, m_fin, a_fin = jax.lax.fori_loop(0, t_chunk, body, init,
-                                            unroll=True)
+                                            unroll=min(t_chunk, 32))
     v_ref[:, :] = v_fin
     if fuse_both:
         m_ref[:, :] = m_fin

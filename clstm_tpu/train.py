@@ -287,6 +287,65 @@ def make_cached_train_step(spec: NetSpec, lr: float = 1e-4,
     return wrapped
 
 
+def make_multi_train_step(spec: NetSpec, k: int, lr: float = 1e-4,
+                          momentum: float = 0.9, *,
+                          loss_kind: str = "ctc",
+                          normalization: str = "none", compute_dtype=None,
+                          gradient_clip: float = 0.0,
+                          augment: float = 0.0, augment_seed: int = 0,
+                          donate: bool = True):
+    """K fused gather+train steps per executable dispatch.
+
+    step(state, group, idx_all, j, lr=, momentum=) -> (state, metrics, j+k):
+    ``lax.scan`` of the make_cached_train_step body over ``k`` consecutive
+    batches of the device-resident epoch index plan — the counter, the
+    plan and the corpus all live on device, so k training batches cost ONE
+    dispatch enqueue instead of k. On a tunneled chip each enqueue is
+    ~20-36ms of host-side RPC against ~14ms of device compute per batch,
+    which capped the round-3 CLI at ~26% of the device-step rate
+    (reference hot loop: clstmocrtrain.cc ≈L100; BASELINE.json north-star
+    train metric).
+
+    metrics = {"loss": last-step loss, "report": last step's packed
+    report, "report_all": [k, 1+2T] — every step's packed (loss, row-0
+    ids, row-0 vals)}: the CLI prints report_every-cadence lines from
+    report_all rows, reading the whole [k, R] block in one deferred
+    transfer (~KBs) instead of one ~55ms round-trip per report.
+
+    The per-step math is byte-for-byte the make_cached_train_step body;
+    trajectory equivalence vs k single-step dispatches over the same plan
+    is asserted in tests/test_device_cache.py."""
+    step = _make_step_fn(spec, loss_kind, normalization, compute_dtype,
+                         gradient_clip, augment, augment_seed)
+
+    def kstep(state, xs, targets, lengths, tlens, idx_all, j, lr_t, mom_t):
+        def body(carry, _):
+            st, jj = carry
+            idx = jax.lax.dynamic_index_in_dim(idx_all, jj, 0, keepdims=False)
+            batch = {"x": xs[idx], "lengths": lengths[idx],
+                     "targets": targets[idx], "target_lengths": tlens[idx]}
+            new_st, metrics = step(st, batch, lr_t, mom_t)
+            return (new_st, jj + 1), metrics["report"]
+
+        (state, j), reports = jax.lax.scan(body, (state, j), None, length=k)
+        metrics = {"loss": reports[-1, 0], "report": reports[-1],
+                   "report_all": reports}
+        return state, metrics, j
+
+    jitted = jax.jit(kstep, donate_argnums=(0, 6) if donate else ())
+
+    def wrapped(state, group: dict, idx_all, j, lr_arg=None,
+                momentum_arg=None):
+        return jitted(state, group["x"], group["targets"], group["lengths"],
+                      group["tlens"], idx_all, j,
+                      jnp.float32(lr if lr_arg is None else lr_arg),
+                      jnp.float32(momentum if momentum_arg is None
+                                  else momentum_arg))
+
+    wrapped.jitted = jitted
+    return wrapped
+
+
 def make_predict_step(spec: NetSpec, *, compute_dtype=None, mesh=None,
                       axis: str = "data"):
     """Jitted inference: (params, x, lengths) -> per-frame (ids, vals).

@@ -214,6 +214,38 @@ def test_evaluate_bounds_recompilation(tmp_path):
     assert ocr._predict._cache_size() <= 2
 
 
+def test_clstmocrtrain_multi_step_blocks(tmp_path, monkeypatch, capsys):
+    """steps_per_dispatch>1 (the multi-step fused dispatch path): reports
+    keep their report_every cadence via intra-block crossings read from
+    report_all, trial counts stay exact, and the model trains/saves."""
+    gen = LineGenerator(seed=6, fontsize=(20, 22), warp_amp=(0.0, 0.0),
+                        noise=0.0, charset="ab")
+    texts = [gen.random_text(2, 4) for _ in range(12)]
+    manifest = make_dataset_dir(str(tmp_path / "train"), len(texts),
+                                gen=gen, texts=texts)
+    save = str(tmp_path / "model")
+    env = {
+        "save_name": save, "ntrain": "48", "lrate": "1e-3",
+        "nhidden": "8", "report_every": "2", "save_every": "24",
+        "test_every": "24", "target_height": "24", "dewarp": "none",
+        "batch_size": "2", "randseed": "0", "steps_per_dispatch": "3",
+        "mesh": "1",
+    }
+    for k, v in env.items():
+        monkeypatch.setenv(k, v)
+
+    from clstm_tpu.cli import clstmocrtrain
+    rc = clstmocrtrain.main([manifest, manifest])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "TESTERR" in out and os.path.exists(save + "-last.clstm")
+    # report_every=2 with B=2: every batch crosses, so every block of 3
+    # batches must print 3 reports — trial counts 2, 4, 6, ... exactly.
+    report_trials = [int(l.split()[0]) for l in out.splitlines()
+                     if l and l[0].isdigit()]
+    assert report_trials == list(range(2, 49, 2))
+
+
 def test_clstmocrtrain_mesh_trajectory_matches_single_device(
         ocr_data, tmp_path, monkeypatch, capsys):
     """CLI-level DP equivalence (SURVEY.md §2 parallelism plan): training
@@ -246,6 +278,69 @@ def test_clstmocrtrain_mesh_trajectory_matches_single_device(
     for a, b in zip(jax.tree.leaves(outs["1"]), jax.tree.leaves(outs["8"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=3e-4, atol=2e-5)
+
+
+def test_clstmocrtrain_mesh_with_augment_trains(ocr_data, tmp_path,
+                                                monkeypatch, capsys):
+    """DP + on-device augmentation (round-3 verdict item 6): augment>0
+    draws per-shard keys, so the DP trajectory legitimately diverges from
+    single-device — assert the path TRAINS (finite reported losses, loss
+    drops, test CER evaluated) on the virtual 8-mesh rather than
+    trajectory equality."""
+    manifest, test_manifest = ocr_data
+    from clstm_tpu.cli import clstmocrtrain
+    save = str(tmp_path / "model-aug")
+    env = {
+        "save_name": save, "ntrain": "480", "lrate": "3e-3",
+        "momentum": "0.9", "nhidden": "12", "report_every": "80",
+        "save_every": "1000", "test_every": "400", "target_height": "24",
+        "dewarp": "none", "batch_size": "8", "randseed": "0",
+        "mesh": "8", "augment": "0.5",
+    }
+    for k, v in env.items():
+        monkeypatch.setenv(k, v)
+    assert clstmocrtrain.main([manifest, test_manifest]) == 0
+    out = capsys.readouterr().out
+    assert "data-parallel over 8 devices" in out
+    losses = [float(l.split()[1]) for l in out.splitlines()
+              if l and l[0].isdigit()]
+    assert losses and all(np.isfinite(losses))
+    assert losses[-1] < losses[0]           # the net is learning
+    assert "TESTERR" in out
+    errs = [float(l.split()[2]) for l in out.splitlines()
+            if l.startswith("TESTERR")]
+    # CER at this scale barely moves off the ~1.0 init plateau in a few
+    # hundred trials; the learning signal is the loss drop above. Assert
+    # the eval path runs and stays sane.
+    assert all(np.isfinite(errs)) and errs[-1] <= 1.1
+
+
+def test_clstmocrtrain_mesh_with_device_preprocess(ocr_data, tmp_path,
+                                                   monkeypatch, capsys):
+    """DP + DeviceDataset.from_files (round-3 verdict item 6): the
+    on-device preprocessing corpus build with a mesh placement (sharded
+    gather outputs, replicated cache) must drive the full CLI — train,
+    evaluate, save — on the virtual 8-mesh."""
+    manifest, test_manifest = ocr_data
+    from clstm_tpu.cli import clstmocrtrain
+    save = str(tmp_path / "model-dp-devprep")
+    env = {
+        "save_name": save, "ntrain": "160", "lrate": "3e-3",
+        "momentum": "0.9", "nhidden": "12", "report_every": "80",
+        "save_every": "1000", "test_every": "80", "target_height": "24",
+        "dewarp": "center", "batch_size": "8", "randseed": "0",
+        "mesh": "8", "device_preprocess": "1",
+    }
+    for k, v in env.items():
+        monkeypatch.setenv(k, v)
+    assert clstmocrtrain.main([manifest, test_manifest]) == 0
+    out = capsys.readouterr().out
+    assert "data-parallel over 8 devices" in out
+    assert "device-preprocessed corpus" in out
+    assert "TESTERR" in out and os.path.exists(save + "-last.clstm")
+    losses = [float(l.split()[1]) for l in out.splitlines()
+              if l and l[0].isdigit()]
+    assert losses and all(np.isfinite(losses))
 
 
 def test_clstmfiltertrain_mesh_matches_single_device(tmp_path, monkeypatch):

@@ -192,3 +192,98 @@ def test_epoch_refs_trajectory_matches_epoch():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     np.testing.assert_allclose(np.asarray(m_ref["report"]),
                                np.asarray(m_std["report"]))
+
+
+def test_epoch_blocks_covers_every_sample_once():
+    samples = _samples(n=29, seed=5)
+    codec = Codec.build([t for _, t in samples])
+    dds = DeviceDataset(samples, codec)
+    rng = np.random.RandomState(2)
+    seen = []
+    total = 0
+    for block in dds.epoch_blocks(4, 3, rng=rng):
+        assert 1 <= block["k"] <= 3
+        assert len(block["texts"]) == block["k"]
+        assert len(block["host_lengths"]) == block["k"]
+        assert block["nreal"] == sum(block["nreal_per"])
+        for txts, n in zip(block["texts"], block["nreal_per"]):
+            assert len(txts) == n
+            seen.extend(txts)
+        total += block["nreal"]
+    assert total == len(samples)
+    assert sorted(seen) == sorted(t for _, t in samples)
+
+
+def test_epoch_blocks_trajectory_matches_refs():
+    """The multi-step scanned dispatch (epoch_blocks + train_batch_block)
+    must produce the same parameter trajectory as K single fused
+    dispatches (epoch_refs + train_batch_refs) over the same plan order
+    (rng=None -> both walk group plans sequentially). Per-step math is the
+    same traced body; the scan may fuse differently, so equality is
+    asserted to f32-tight tolerance and the packed reports must agree."""
+    import jax
+    from clstm_tpu.models.hl import CLSTMOCR
+
+    samples = _samples(n=19, seed=3)
+    codec = Codec.build([t for _, t in samples])
+
+    def train(use_blocks):
+        ocr = CLSTMOCR(target_height=16, dewarp="none")
+        ocr.createBidi(codec, 12, seed=0)
+        ocr.setLearningRate(1e-3, 0.9)
+        dds = DeviceDataset(samples, codec)
+        reports = []
+        for _ in range(2):  # two epochs exercise the per-plan counters
+            if use_blocks:
+                for block in dds.epoch_blocks(8, 2):
+                    m = ocr.train_batch_block(block)
+                    reports.extend(np.asarray(m["report_all"]))
+            else:
+                for ref in dds.epoch_refs(8):
+                    m = ocr.train_batch_refs(ref)
+                    reports.append(np.asarray(m["report"]))
+        return ocr.state.params, reports
+
+    p_blk, r_blk = train(True)
+    p_ref, r_ref = train(False)
+    assert len(r_blk) == len(r_ref)
+    for a, b in zip(r_blk, r_ref):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(p_blk), jax.tree.leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_train_batch_block_exact_vs_refs_single_group():
+    """Bit-level check on one group: a k=4 block dispatch vs 4 one-step
+    dispatches from identical initial state must match to float32
+    round-off (same body, scan-fused)."""
+    import jax
+    from clstm_tpu.models.hl import CLSTMOCR
+
+    rng = np.random.RandomState(0)
+    samples = [(rng.rand(50, 16).astype(np.float32),
+                "".join(rng.choice(list("abc "), size=6))) for _ in range(16)]
+    codec = Codec.build([t for _, t in samples])
+
+    def make():
+        ocr = CLSTMOCR(target_height=16, dewarp="none")
+        ocr.createBidi(codec, 8, seed=1)
+        ocr.setLearningRate(1e-3, 0.9)
+        return ocr, DeviceDataset(samples, codec)
+
+    ocr_b, dds_b = make()
+    blocks = list(dds_b.epoch_blocks(4, 4))
+    assert len(blocks) == 1 and blocks[0]["k"] == 4
+    mb = ocr_b.train_batch_block(blocks[0])
+
+    ocr_r, dds_r = make()
+    for ref in dds_r.epoch_refs(4):
+        mr = ocr_r.train_batch_refs(ref)
+
+    np.testing.assert_allclose(np.asarray(mb["report"]),
+                               np.asarray(mr["report"]), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(ocr_b.state.params),
+                    jax.tree.leaves(ocr_r.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-8)

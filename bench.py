@@ -208,7 +208,7 @@ def bench_e2e() -> dict:
 
         for block in dcache.epoch_blocks(B, block_k, rng=rng,
                                          epochs=block_k):
-            m = ocr.train_batch_block(block)
+            m = ocr.train_batch_block(block, k_max=block_k)
             flush()  # previous block's report — overlaps this dispatch
             crossings = []
             for s, n in enumerate(block["nreal_per"]):

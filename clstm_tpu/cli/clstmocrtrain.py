@@ -47,7 +47,11 @@ TPU-native additions (no reference equivalent):
                      compute-bound CLI. Reports keep their report_every
                      cadence (the dispatch returns every step's packed
                      report; reads are deferred one block so the RTT
-                     overlaps compute).
+                     overlaps compute). K>1 shuffles the epoch at block
+                     granularity — an equally valid but DIFFERENT order
+                     than K=1/mesh runs for the same randseed; use
+                     steps_per_dispatch=1 when a trajectory must be
+                     bit-comparable across those paths.
   cache=auto         device|host|auto — device keeps the prepared corpus
                      resident in HBM and gathers batches on device (the
                      host->device link is otherwise the pipeline
@@ -303,7 +307,7 @@ def main(argv=None) -> int:
                    else make_batches(samples, codec, batch_size, rng=rng))
         for batch in batches:
             if use_blocks:
-                m = ocr.train_batch_block(batch)
+                m = ocr.train_batch_block(batch, k_max=block_k)
                 nreal_per = batch["nreal_per"]
                 btexts, bhls = batch["texts"], batch["host_lengths"]
             else:

@@ -294,20 +294,33 @@ class DeviceDataset:
         thread the returned device counter back into slot 3."""
         plans = []
         for g in self.groups:
-            chunks = []
+            orders = []
             for _ in range(epochs):
                 order = np.arange(g["n"])
                 if rng is not None:
                     rng.shuffle(order)
-                for lo in range(0, g["n"], batch_size):
-                    chunk = order[lo:lo + batch_size]
-                    if len(chunk) < batch_size:
-                        if drop_remainder:
-                            continue
-                        pad = np.full(batch_size - len(chunk), g["n"],
-                                      np.int64)
-                        chunk = np.concatenate([chunk, pad])
-                    chunks.append(chunk)
+                orders.append(order)
+            # Chunk the CONCATENATED multi-epoch order: batches may span
+            # epoch boundaries, so each group pays one partial
+            # (sentinel-padded) batch per super-epoch instead of one per
+            # epoch. On the round-4 bench corpus (6 groups, 1024 lines,
+            # B=256) per-epoch chunking computed 2x the real rows —
+            # sentinel rows cost full compute for zero gradient. Every
+            # sample still appears exactly ``epochs`` times; a batch can
+            # contain a sample twice (adjacent epochs), which if anything
+            # is closer to the reference's sample-with-replacement trial
+            # loop (clstmocrtrain.cc ≈L100). epochs=1 is unchanged.
+            order = np.concatenate(orders)
+            chunks = []
+            for lo in range(0, len(order), batch_size):
+                chunk = order[lo:lo + batch_size]
+                if len(chunk) < batch_size:
+                    if drop_remainder:
+                        continue
+                    pad = np.full(batch_size - len(chunk), g["n"],
+                                  np.int64)
+                    chunk = np.concatenate([chunk, pad])
+                chunks.append(chunk)
             if chunks:
                 idx_all = np.stack(chunks).astype(np.int32)
                 if self._repl is not None:
@@ -370,12 +383,12 @@ class DeviceDataset:
         than k=1 for the same seed.
 
         ``epochs`` > 1 builds each group's plan over that many epochs so
-        blocks SPAN epoch boundaries — essential on real corpora, whose
-        bucket groups typically hold only 1-2 batches per epoch (the
-        round-4 bench corpus: 6 groups, 8 batches/epoch total — k>1 never
-        engaged at epochs=1). With epochs == k every group's batch count
-        is a multiple of k, so every block is full-size (one compiled
-        scan shape per group, no remainder scans).
+        BOTH batches and blocks span epoch boundaries — essential on real
+        corpora, whose bucket groups typically hold only 1-2 batches per
+        epoch (the round-4 bench corpus: 6 groups, 8 batches/epoch total
+        — k>1 never engaged at epochs=1, and per-epoch remainder padding
+        computed 2x the real rows). Each group pays at most one partial
+        batch and one short block per super-epoch.
 
         Block dict: group/idx_all/j/set_j as epoch_refs (the consumer must
         thread the returned counter back through set_j), plus

@@ -146,7 +146,7 @@ class _TrainableBase:
         ref["set_j"](new_j)
         return metrics
 
-    def train_batch_block(self, block: dict) -> dict:
+    def train_batch_block(self, block: dict, k_max: int = 0) -> dict:
         """K batches in ONE dispatch on a DeviceDataset.epoch_blocks block:
         lax.scan of the fused gather+train body over ``block['k']``
         consecutive batches of the resident epoch plan
@@ -155,15 +155,17 @@ class _TrainableBase:
         the difference between an enqueue-bound and a compute-bound CLI
         (round-3: e2e ran at 26% of the device-step rate at K=1).
 
-        One compilation per (group shape, k); remainder blocks (k <
-        steps_per_dispatch) add at most one short-scan compile per group.
-        Returns metrics {loss, report, report_all [k, 1+2T]} — see
+        ``k_max`` (the CLI's steps_per_dispatch) fixes the compiled scan
+        length; shorter (remainder) blocks reuse the same executable via
+        the traced ``nvalid`` skip — ONE compilation per (group shape,
+        k_max). With k_max=0 the scan compiles at the block's own k.
+        Returns metrics {loss, report, report_all [k_max, 1+2T]} — see
         make_multi_train_step. Single-device path only."""
         if self.mesh is not None:
             raise ValueError("train_batch_block is a single-device fast "
                              "path; use epoch() + train_batch with a mesh")
         self._ensure_compiled()
-        k = block["k"]
+        k = max(k_max, block["k"])
         step = self._multi_steps.get(k)
         if step is None:
             from clstm_tpu.train import make_multi_train_step
@@ -175,7 +177,7 @@ class _TrainableBase:
             self._multi_steps[k] = step
         self.state, metrics, new_j = step(
             self.state, block["group"], block["idx_all"], block["j"],
-            self.lr, self.momentum)
+            nvalid=block["k"], lr_arg=self.lr, momentum_arg=self.momentum)
         block["set_j"](new_j)
         return metrics
 

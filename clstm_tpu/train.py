@@ -306,11 +306,20 @@ def make_multi_train_step(spec: NetSpec, k: int, lr: float = 1e-4,
     (reference hot loop: clstmocrtrain.cc ≈L100; BASELINE.json north-star
     train metric).
 
-    metrics = {"loss": last-step loss, "report": last step's packed
-    report, "report_all": [k, 1+2T] — every step's packed (loss, row-0
-    ids, row-0 vals)}: the CLI prints report_every-cadence lines from
-    report_all rows, reading the whole [k, R] block in one deferred
-    transfer (~KBs) instead of one ~55ms round-trip per report.
+    step(state, group, idx_all, j, nvalid, lr=, momentum=) ->
+    (state, metrics, j+nvalid). ``nvalid`` is a TRACED scalar: scan steps
+    beyond it are skipped via lax.cond (XLA executes only the taken
+    branch, so dead steps cost ~nothing and never touch state/velocity/
+    counter) — remainder blocks of any length reuse the ONE compiled
+    k-scan per group instead of compiling a short scan per distinct
+    remainder (6 extra ~30s tunnel compiles on the round-4 bench corpus).
+
+    metrics = {"loss": last-VALID-step loss, "report": last valid step's
+    packed report, "report_all": [k, 1+2T] — every step's packed (loss,
+    row-0 ids, row-0 vals); rows >= nvalid are zeros}: the CLI prints
+    report_every-cadence lines from report_all rows, reading the whole
+    [k, R] block in one deferred transfer (~KBs) instead of one ~55ms
+    round-trip per report.
 
     The per-step math is byte-for-byte the make_cached_train_step body;
     trajectory equivalence vs k single-step dispatches over the same plan
@@ -318,26 +327,43 @@ def make_multi_train_step(spec: NetSpec, k: int, lr: float = 1e-4,
     step = _make_step_fn(spec, loss_kind, normalization, compute_dtype,
                          gradient_clip, augment, augment_seed)
 
-    def kstep(state, xs, targets, lengths, tlens, idx_all, j, lr_t, mom_t):
+    def kstep(state, xs, targets, lengths, tlens, idx_all, j, nvalid,
+              lr_t, mom_t):
+        j_end = j + nvalid
+
         def body(carry, _):
             st, jj = carry
-            idx = jax.lax.dynamic_index_in_dim(idx_all, jj, 0, keepdims=False)
-            batch = {"x": xs[idx], "lengths": lengths[idx],
-                     "targets": targets[idx], "target_lengths": tlens[idx]}
-            new_st, metrics = step(st, batch, lr_t, mom_t)
-            return (new_st, jj + 1), metrics["report"]
+
+            def do(args):
+                st, jj = args
+                idx = jax.lax.dynamic_index_in_dim(idx_all, jj, 0,
+                                                   keepdims=False)
+                batch = {"x": xs[idx], "lengths": lengths[idx],
+                         "targets": targets[idx],
+                         "target_lengths": tlens[idx]}
+                new_st, metrics = step(st, batch, lr_t, mom_t)
+                return (new_st, jj + 1), metrics["report"]
+
+            def skip(args):
+                st, jj = args
+                R = 1 + 2 * xs.shape[1]
+                return (st, jj), jnp.zeros((R,), jnp.float32)
+
+            return jax.lax.cond(jj < j_end, do, skip, (st, jj))
 
         (state, j), reports = jax.lax.scan(body, (state, j), None, length=k)
-        metrics = {"loss": reports[-1, 0], "report": reports[-1],
-                   "report_all": reports}
+        last = jax.lax.dynamic_index_in_dim(reports, nvalid - 1, 0,
+                                            keepdims=False)
+        metrics = {"loss": last[0], "report": last, "report_all": reports}
         return state, metrics, j
 
     jitted = jax.jit(kstep, donate_argnums=(0, 6) if donate else ())
 
-    def wrapped(state, group: dict, idx_all, j, lr_arg=None,
+    def wrapped(state, group: dict, idx_all, j, nvalid=None, lr_arg=None,
                 momentum_arg=None):
         return jitted(state, group["x"], group["targets"], group["lengths"],
                       group["tlens"], idx_all, j,
+                      jnp.int32(k if nvalid is None else nvalid),
                       jnp.float32(lr if lr_arg is None else lr_arg),
                       jnp.float32(momentum if momentum_arg is None
                                   else momentum_arg))

@@ -1,0 +1,126 @@
+#!/bin/bash
+# Config-4 corpus-size scaling (round-4 VERDICT item 5): is the ~2.0-2.3%
+# plateau an intrinsic 351-class near-homoglyph ambiguity floor, or just
+# "500 train lines is small for 351 classes"?
+#
+# Same generator, vocabulary, rendering profile, recipe and fresh-200
+# eval as scripts/r3_config4.sh (winning recipe: stage 1 lr=1e-3 1M
+# trials, stage 2 load= lr=5e-5 1M trials, B=8 clip=10 initial=0.1);
+# the ONLY variable is the training-corpus size: 500 (r3 anchor) vs
+# 2,000 vs 5,000 lines. All sizes share the seed-0 generator stream and
+# the seed-7 fresh set, so numbers are directly comparable to the r3
+# table in BASELINE.md.
+set -e
+cd "$(dirname "$0")/.."
+
+WORK="${WORK:-/tmp/clstm_c4_scale}"
+OUT="runs/r4"
+mkdir -p "$WORK" "$OUT"
+
+if [ ! -f "$WORK/fresh.files" ]; then
+python - "$WORK" <<'EOF'
+import sys
+import unicodedata
+from PIL import ImageFont
+from clstm_tpu.data.lines import LineGenerator, make_dataset_dir
+
+work = sys.argv[1]
+
+def big_charset(fontpath):
+    """Same rendered-glyph-deduped large charset as r3_config4.sh."""
+    f = ImageFont.truetype(fontpath, 32)
+    out = []
+    seen = set()
+    for lo, hi in ((0x41, 0x5B), (0x61, 0x7B), (0x30, 0x3A),
+                   (0xC0, 0x100), (0x100, 0x180),
+                   (0x391, 0x3A2), (0x3A3, 0x3CA), (0x410, 0x450)):
+        for cp in range(lo, hi):
+            ch = chr(cp)
+            if not (unicodedata.category(ch).startswith("L") or ch.isdigit()):
+                continue
+            m = f.getmask(ch)
+            if m.size[0] == 0 or m.size[1] == 0:
+                continue
+            key = (m.size, bytes(m))
+            if key in seen:
+                continue
+            seen.add(key)
+            out.append(ch)
+    return "".join(out)
+
+def make_gen(seed):
+    g = LineGenerator(seed=seed, fontsize=(30, 34), warp_amp=(0.0, 3.0),
+                      noise=0.03)
+    serif = [f for f in g.fonts if "Serif" in f]
+    g.fonts = serif or g.fonts[:1]
+    g.charset = big_charset(g.fonts[0]) + " .,;:'!?-()"
+    return g
+
+def vocab(gen, n=600):
+    words = []
+    letters = [c for c in gen.charset if c.strip() and not c.isdigit()]
+    for _ in range(n):
+        k = int(gen.rng.randint(2, 9))
+        words.append("".join(letters[gen.rng.randint(len(letters))]
+                             for _ in range(k)))
+    return words
+
+def sentences(gen, words, n):
+    outs = []
+    for _ in range(n):
+        k = int(gen.rng.randint(3, 9))
+        s = " ".join(words[gen.rng.randint(len(words))] for _ in range(k))
+        if gen.rng.rand() < 0.3:
+            s += "."
+        outs.append(s)
+    return outs
+
+g = make_gen(0)
+words = vocab(g)
+print("# charset classes:", len(set(g.charset)) + 1)
+texts = sentences(g, words, 5050)
+# shared test set (the tail 50, as r3 used indices 500:550)
+test = make_dataset_dir(f"{work}/test", 50, gen=g, texts=texts[5000:])
+open(f"{work}/test.files", "w").write(open(test).read())
+for n in (2000, 5000):
+    tr = make_dataset_dir(f"{work}/train{n}", n, gen=g, texts=texts[:n])
+    open(f"{work}/train{n}.files", "w").write(open(tr).read())
+g2 = make_gen(7)
+fresh = make_dataset_dir(f"{work}/fresh", 200, gen=g2,
+                         texts=sentences(g2, words, 200))
+open(f"{work}/fresh.files", "w").write(open(fresh).read())
+print("# config-4 scaling datasets ready in", work)
+EOF
+fi
+
+run () {  # name trainfile extra-env...
+    local name="$1"; shift
+    local trainfile="$1"; shift
+    if [ -f "$OUT/$name.log" ] && grep -q "^# done:" "$OUT/$name.log"; then
+        echo "=== $name already done, skipping ==="; return 0
+    fi
+    echo "=== config-4-scale run $name ($*) ==="
+    env save_name="$WORK/$name" net=bidi2 nhidden=200 \
+    ntrain=1000000 batch_size=8 gradient_clip=10 initial=0.1 \
+    target_height=48 report_every=100000 test_every=100000 \
+    save_every=200000 randseed=0 augment=0 log_jsonl="$OUT/$name.jsonl" \
+    "$@" \
+    python -m clstm_tpu.cli.clstmocrtrain \
+        "$trainfile" "$WORK/test.files" > "$OUT/$name.log" 2>&1
+    grep TESTERR "$OUT/$name.log" | tail -2
+}
+
+fresh_eval () {  # name
+    local name="$1"
+    python scripts/eval_cer.py "$WORK/$name.clstm" "$WORK/fresh.files" \
+        2> "$OUT/eval-$name.err" | tee -a "$OUT/eval.jsonl"
+}
+
+for n in 2000 5000; do
+    run "c4x-${n}-s1" "$WORK/train$n.files" lrate=1e-3
+    run "c4x-${n}-s2" "$WORK/train$n.files" lrate=5e-5 \
+        load="$WORK/c4x-${n}-s1.clstm" randseed=1
+    fresh_eval "c4x-${n}-s1"
+    fresh_eval "c4x-${n}-s2"
+done
+echo "=== done; fresh-200 CERs in $OUT/eval.jsonl ==="

@@ -251,7 +251,10 @@ def test_clstmocrtrain_mesh_trajectory_matches_single_device(
     """CLI-level DP equivalence (SURVEY.md §2 parallelism plan): training
     with mesh=8 on the virtual 8-device mesh must reproduce the mesh=1
     trajectory — same data order, psum-summed gradients, identical final
-    weights (within f32 reduction noise)."""
+    weights (within f32 reduction noise). steps_per_dispatch=1 pins the
+    single-device leg to the one-batch-per-dispatch epoch order (the
+    mesh path walks epoch(); k>1 blocks shuffle at block granularity, a
+    different — equally valid — order)."""
     import jax
     from clstm_tpu.io.proto import load_net
 
@@ -265,7 +268,7 @@ def test_clstmocrtrain_mesh_trajectory_matches_single_device(
             "momentum": "0.9", "nhidden": "12", "report_every": "100",
             "save_every": "1000", "test_every": "1000",
             "target_height": "24", "dewarp": "none", "batch_size": "8",
-            "randseed": "0", "mesh": mesh,
+            "randseed": "0", "mesh": mesh, "steps_per_dispatch": "1",
         }
         for k, v in env.items():
             monkeypatch.setenv(k, v)

@@ -235,9 +235,12 @@ def test_epoch_blocks_trajectory_matches_refs():
         reports = []
         for _ in range(2):  # two epochs exercise the per-plan counters
             if use_blocks:
+                # k_max=2 with 19 samples at B=8 -> each group plan ends
+                # in a short block, so the traced-nvalid cond-skip path
+                # (remainder reusing the k=2 executable) is exercised.
                 for block in dds.epoch_blocks(8, 2):
-                    m = ocr.train_batch_block(block)
-                    reports.extend(np.asarray(m["report_all"]))
+                    m = ocr.train_batch_block(block, k_max=2)
+                    reports.extend(np.asarray(m["report_all"])[:block["k"]])
             else:
                 for ref in dds.epoch_refs(8):
                     m = ocr.train_batch_refs(ref)

@@ -3,7 +3,7 @@
 The lax.scan bidi cell (ops/lstm.py bidi_lstm_apply) pays per-iteration
 dispatch and MXU issue latency on every one of T steps whose work is tiny;
 these kernels run the entire recurrence on-core with the state in VMEM.
-Three rounds of profiling shaped the design (benchmarks/profile_step.py):
+Four rounds of profiling shaped the design (benchmarks/profile_step.py):
 
 * **Batch-major [B, T, lanes] everywhere.** Pallas blocks are
   (b_tile, t_chunk, lanes) on a (B tiles, T chunks) grid; B > MAX_B_TILE
@@ -23,18 +23,27 @@ Three rounds of profiling shaped the design (benchmarks/profile_step.py):
 * **The input projection lives INSIDE the kernels** from a packed
   ``xcat = [x | 1]`` stream; the round-1 xz [B, T, 8Hp] HBM tensor
   (512MB written + read twice at the bench shape) is gone.
-* **One matmul per step on the serial chain**: both directions' recurrent
-  matmuls fuse into one block-diagonal gate-major product — combined
-  state ``hcat [B, 2Hp]`` times ``Wbd [2Hp, 8Hp]`` with column blocks
-  ``[gi | gf | go | ci]``, forward direction in the first Hp lanes of
-  each block, reverse in the second.
+* **Per-direction SPLIT recurrent matmuls** (round-4 restructure): each
+  chain step runs ``h_f @ Whf [hp, 4hp]`` and ``h_r @ Whr [hp, 4hp]`` as
+  two independent dots. Rounds 1-3 fused them into one block-diagonal
+  ``hcat [bt, 2hp] @ Wbd [2hp, 8hp]`` product "to keep one matmul on the
+  serial chain" — but the chain is MXU-THROUGHPUT-bound, not issue-bound,
+  and the dense block-diagonal product burns 2x the MACs on structural
+  zeros (half of Wbd is zero by construction). Measured on the chained
+  microbenchmark at the bench shape (1024 steps, bt=256): fused 4.19ms vs
+  split 2.80ms. The same 2x waste is removed from the backward kernel's
+  ``dz @ Wbd^T`` cotangent matmul and from the dW chunk contractions
+  (the gate-major form computed a [*, 8hp] outer product and DISCARDED
+  the other direction's half at extraction). The two directions' chains
+  are data-independent, so the split dots also give Mosaic cross-direction
+  ILP to hide VPU gate latency under the other direction's MXU pass.
 * **The forward kernel emits (yf, yr, hprev, cprev)** — the layer output
   as two per-direction halves already in original time order (see above),
   plus the pre-step state streams the backward pass needs (its loop
   carries, free to store).
-* **The backward kernel accumulates dWf/dWr/dWh in VMEM-resident output
-  blocks and emits dx directly; dz never touches HBM.** c_seq is not even
-  stored — c_new is recomputed from (hprev, cprev, xcat).
+* **The backward kernel accumulates dWf/dWr/dWhf/dWhr in VMEM-resident
+  output blocks and emits dx directly; dz never touches HBM.** c_seq is
+  not even stored — c_new is recomputed from (hprev, cprev, xcat).
 * **In-kernel per-step state lives in TIME-LEADING scratch**, bulk
   transposed to/from the streamed blocks once per chunk. Per-step indexing
   on the sublane dim of a (b, t, lanes) block costs an in-chain relayout —
@@ -92,65 +101,39 @@ def _pad_gates(W, H: int, in_dim: int, in_pad: int, hp: int = HP):
     return out
 
 
-def _gm_weight(Wp, g: int, hp: int = HP):
-    """[in, 4Hp] group-g padded weights -> [in, 8Hp] gate-major placement
-    (zeros in the other group's lanes). Folding the gate-major permutation
-    into the WEIGHTS keeps the big [B,T,*] activations in natural layout —
-    permuting activations instead costs full passes over the sequence."""
-    n = Wp.shape[0]
-    out = jnp.zeros((n, 4, 2, hp), jnp.float32)
-    out = out.at[:, :, g, :].set(Wp.reshape(n, 4, hp))
-    return out.reshape(n, 8 * hp)
-
-
-def _gm_cols(arr, g: int, H: int, axis: int = -1, hp: int = HP):
-    """Slice group g's [*, 4H] reference-layout block out of a gate-major
-    [*, 8Hp] array along ``axis``."""
+def _ref_cols(arr, H: int, axis: int = -1, hp: int = HP):
+    """Slice the [*, 4H] reference-layout block out of a gate-padded
+    [*, 4hp] array along ``axis`` (inverse of _pad_gates' column pad)."""
     parts = []
     for k in range(4):
-        lo = k * 2 * hp + g * hp
+        lo = k * hp
         idx = [slice(None)] * arr.ndim
         idx[axis] = slice(lo, lo + H)
         parts.append(arr[tuple(idx)])
     return jnp.concatenate(parts, axis=axis)
 
 
-def _make_wbd(params_f: dict, params_r: dict, H: int, hp: int = HP):
-    """Block-diagonal gate-major recurrent weights [2hp, 8hp]."""
-    rows = []
-    for g, p in ((0, params_f), (1, params_r)):
-        Whp = _pad_gates(p["Wh"], H, H, hp, hp)       # [hp, 4hp]
-        block = jnp.zeros((hp, 4, 2, hp), jnp.float32)
-        block = block.at[:, :, g, :].set(Whp.reshape(hp, 4, hp))
-        rows.append(block.reshape(hp, 8 * hp))
-    return jnp.concatenate(rows, axis=0)              # [2hp, 8hp]
-
-
-def _make_wdir(params: dict, g: int, H: int, D: int, hp: int = HP,
-               with_bias_of=None):
-    """Per-direction input projection [D+1, 8hp] for the ``[x | 1]``
-    stream: rows 0:D = Wx in group-g lanes, row D = bias. The COMBINED
-    bias of both directions goes into the forward matrix (``with_bias_of``
-    supplies the other direction's params); the reverse matrix carries a
-    zero bias row so the two per-chunk projections can simply add."""
-    W = _gm_weight(_pad_gates(params["Wx"], H, D, D, hp), g, hp)
-    out = jnp.zeros((D + 1, 8 * hp), jnp.float32)
-    out = out.at[:D].set(W)
-    if with_bias_of is not None:
-        b0 = _gm_weight(_pad_gates(params["b"][None, :], H, 1, 1, hp), g, hp)[0]
-        b1 = _gm_weight(
-            _pad_gates(with_bias_of["b"][None, :], H, 1, 1, hp), 1 - g, hp)[0]
-        out = out.at[D].set(b0 + b1)
+def _make_win(params: dict, H: int, D: int, hp: int = HP):
+    """One direction's input projection [D+1, 4hp] for the ``[x | 1]``
+    stream: rows 0:D = Wx gate-padded, row D = this direction's bias."""
+    out = jnp.zeros((D + 1, 4 * hp), jnp.float32)
+    out = out.at[:D].set(_pad_gates(params["Wx"], H, D, D, hp))
+    out = out.at[D].set(_pad_gates(params["b"][None, :], H, 1, 1, hp)[0])
     return out
 
 
+def _make_wh(params: dict, H: int, hp: int = HP):
+    """One direction's recurrent weights [hp, 4hp], gate-padded."""
+    return _pad_gates(params["Wh"], H, H, hp, hp)
+
+
 def _make_wxt(params_f: dict, params_r: dict, H: int, D: int, hp: int = HP):
-    """Per-direction dx projections ([8hp, D], [8hp, D]). Kept as two
-    matrices (not one [8hp, 2D] concat) so the kernel can stage each
-    direction's dx into its own output stream — the reverse one through a
-    time-reversed output block map — without unaligned lane slicing."""
-    Wf = _gm_weight(_pad_gates(params_f["Wx"], H, D, D, hp), 0, hp)
-    Wr = _gm_weight(_pad_gates(params_r["Wx"], H, D, D, hp), 1, hp)
+    """Per-direction dx projections ([4hp, D], [4hp, D]). Kept as two
+    matrices so the kernel can stage each direction's dx into its own
+    output stream — the reverse one through a time-reversed output block
+    map — without unaligned lane slicing."""
+    Wf = _pad_gates(params_f["Wx"], H, D, D, hp)
+    Wr = _pad_gates(params_r["Wx"], H, D, D, hp)
     return Wf.T, Wr.T
 
 
@@ -176,159 +159,145 @@ def _gates(z, c_prev, gh: int):
     return gi, gf, go, ci, c_new
 
 
-def _fill_xz(xz_ref, xf_ref, xr_ref, wf, wr, t_chunk, cd):
-    """Per-chunk input projection into TIME-LEADING scratch [tc, bt, 8hp]:
-    xz[r] = x_fwd[r] @ Wf + x_rev[r] @ Wr (bias folded into Wf's ones
-    row). One sub-matmul pair per step keeps operand/result values small —
-    a single [bt*tc, 8hp] f32 dot result blows the Mosaic scoped stack.
-    xr_ref arrives through a time-reversed block index map; in-block rows
-    reverse here, so chain step r sees original time T-1-s."""
+def _fill_xz_split(xzf_s, xzr_s, xf_ref, xr_ref, wf, wr, t_chunk, cd):
+    """Per-chunk per-direction input projections into TIME-LEADING scratch
+    [tc, bt, 4hp], CHAIN-ordered: xzf_s[r] = x_fwd[r] @ Wf (bias folded
+    into the ones row), xzr_s[r] = x at original time T-1-r @ Wr. One
+    sub-matmul pair per step keeps operand/result values small — a single
+    [bt*tc, 4hp] f32 dot result blows the Mosaic scoped stack. xr_ref
+    arrives through a time-reversed block index map; in-block rows reverse
+    here, so chain step r sees original time T-1-r."""
     for k in range(t_chunk):
-        xz_ref[k] = (
-            jnp.dot(xf_ref[:, k, :].astype(cd), wf,
-                    preferred_element_type=jnp.float32)
-            + jnp.dot(xr_ref[:, t_chunk - 1 - k, :].astype(cd), wr,
-                      preferred_element_type=jnp.float32)
-        ).astype(xz_ref.dtype)
+        xzf_s[k] = jnp.dot(xf_ref[:, k, :].astype(cd), wf,
+                           preferred_element_type=jnp.float32)
+        xzr_s[k] = jnp.dot(xr_ref[:, t_chunk - 1 - k, :].astype(cd), wr,
+                           preferred_element_type=jnp.float32)
 
 
-def _fill_xz_hoisted(xz_ref, xzf_ref, xzr_ref, xzf_s, xzr_s, t_chunk, hp):
+def _stage_hoisted(xzf_s, xzr_s, xzf_ref, xzr_ref):
     """Stage HOISTED per-direction projection streams (compact [bt, tc,
-    4hp], computed by one big XLA matmul — see _proj_stream) into the
-    gate-major [tc, bt, 8hp] scratch. Used when the input dim is large
-    (dc > hp): at D=400/H=200 the in-kernel per-step projection costs
-    ~7ms per kernel pass while the hoisted big matmul runs near MXU peak.
+    4hp], computed by one big XLA matmul — see _proj_stream) into
+    time-leading scratch. Used when the input dim is large (dc > hp): at
+    D=400/H=200 the in-kernel per-step projection costs ~7ms per kernel
+    pass while the hoisted big matmul runs near MXU peak.
 
-    Streams are first bulk-transposed into TIME-LEADING scratch: indexing
-    the streamed block's sublane (time) dim gives vectors with non-zero
-    sublane offsets, and Mosaic's concatenate requires matching offsets on
+    Bulk transpose, not per-step sublane indexing: indexing the streamed
+    block's sublane (time) dim gives vectors with non-zero sublane
+    offsets, and Mosaic's concatenate requires matching offsets on
     non-concat dims ("result/input offset mismatch" — hit on hardware).
-    After staging, the per-step interleave is 8 lane-aligned hp-wide
-    slices (vreg selects, no shuffles); xzr arrives through the
-    time-reversed block map, in-block rows reverse here — identical view
-    mechanics to _fill_xz."""
-    xzf_s[...] = jnp.transpose(xzf_ref[...], (1, 0, 2))
-    xzr_s[...] = jnp.transpose(xzr_ref[...], (1, 0, 2))
-    for k in range(t_chunk):
-        f = xzf_s[k]
-        r = xzr_s[t_chunk - 1 - k]
-        xz_ref[k] = jnp.concatenate(
-            [jnp.concatenate([f[:, g * hp:(g + 1) * hp],
-                              r[:, g * hp:(g + 1) * hp]], axis=1)
-             for g in range(4)], axis=1).astype(xz_ref.dtype)
+    xzr arrives through the time-reversed block map; rows stay in
+    ORIGINAL order here (the chain loop reads xzr_s[tc-1-r]), unlike
+    _fill_xz_split's chain-ordered fill — hence the ``hoisted`` flag on
+    the chain loops. The round-3 gate-major 8hp interleave stage is gone:
+    the per-direction streams feed the per-direction dots directly."""
+    xzf_s[...] = jnp.transpose(xzf_ref[...], (1, 0, 2)).astype(xzf_s.dtype)
+    xzr_s[...] = jnp.transpose(xzr_ref[...], (1, 0, 2)).astype(xzr_s.dtype)
 
 
-def _rev_mask(len_gh, lane_ge_hp, s_f, T):
-    """[bt, gh] per-step mask: 1 on forward lanes; on reverse lanes 1 iff
-    chain step s has entered the row's valid region (s >= T - len, i.e.
-    original time T-1-s < len). Multiplying h/c by it each step zeroes the
-    reverse state through the phantom prefix and restarts it from exactly
-    zero at t = len-1 — flip-within-length semantics without the gather."""
-    active = (len_gh > (T - 1.0 - s_f)).astype(jnp.float32)
-    return jnp.maximum(active, 1.0 - lane_ge_hp)
-
-
-def _full_mask(len_gh, lane_ge_hp, s_f, T):
-    """[bt, gh] per-step frame-validity mask for BOTH directions: forward
-    lanes active iff original time s < len, reverse lanes per _rev_mask.
-    Used by the backward kernel so raw (unmasked) output cotangents can be
-    streamed in: (g + Dh) * full_mask zeroes phantom-frame contributions
-    in-kernel, replacing the former XLA-side gy mask multiply."""
-    act_f = (len_gh > s_f).astype(jnp.float32)
-    act_r = (len_gh > (T - 1.0 - s_f)).astype(jnp.float32)
-    return act_f * (1.0 - lane_ge_hp) + act_r * lane_ge_hp
-
-
-def _fwd_kernel(*refs, t_chunk: int, gh: int, T: int, compute_bf16: bool,
+def _fwd_kernel(*refs, t_chunk: int, hp: int, T: int, compute_bf16: bool,
                 proj_in: bool = False):
     """Forward recurrence over one (b_tile, t_chunk) block.
 
     Emits the layer output directly in ORIGINAL time order as two
-    per-direction streams — yf (forward lanes, frame-validity masked
-    in-kernel) through a plain output block map and yr (reverse lanes)
+    per-direction streams — yf (forward half, frame-validity masked
+    in-kernel) through a plain output block map and yr (reverse half)
     through a time-REVERSED output block map with in-block row reversal —
-    plus hprev/cprev (pre-step carries, consumed by the backward kernel).
-    The former [B,T,2hp] mask+flip+concat XLA epilogue reduces to a
-    slice+concat of the two halves (round-2 lever: the epilogue was a full
-    HBM pass over the sequence per layer). Forward STATE carries no
-    per-step length masking — padding is a contiguous per-row SUFFIX
-    (data/dataset bucketing invariant) so phantom forward state never
-    feeds a valid frame; only the yf WRITE is masked. Reverse lanes are
-    masked by _rev_mask (their boundary reset IS the flip semantics), so
-    yr's phantom prefix is exact zeros already.
+    plus hprev/cprev (pre-step carries [bt, 2hp] = [h_f | h_r], consumed
+    by the backward kernel). Forward STATE carries no per-step length
+    masking — padding is a contiguous per-row SUFFIX (data/dataset
+    bucketing invariant) so phantom forward state never feeds a valid
+    frame; only the yf WRITE is masked. The reverse state is masked by
+    the boundary-reset multiply (that IS the flip semantics), so yr's
+    phantom prefix is exact zeros already.
 
     proj_in=True: the input projection was hoisted to one big XLA matmul
-    (large-D layers, see _fill_xz_hoisted) — the first two refs are the
+    (large-D layers, see _stage_hoisted) — the first two refs are the
     compact per-direction xz streams and there are no wf/wr operands."""
     if proj_in:
-        (xf_ref, xr_ref, len_ref, wbd_ref,
+        (xf_ref, xr_ref, len_ref, whf_ref, whr_ref,
          yf_ref, yr_ref, hprev_ref, cprev_ref,
-         h_ref, c_ref, xz_ref, yf_s, yr_s, hs_s, cs_s, xzf_s, xzr_s) = refs
+         hf_ref, cf_ref, hr_ref, cr_ref, xzf_s, xzr_s,
+         yf_s, yr_s, hs_s, cs_s) = refs
     else:
-        (xf_ref, xr_ref, len_ref, wf_ref, wr_ref, wbd_ref,
+        (xf_ref, xr_ref, len_ref, wf_ref, wr_ref, whf_ref, whr_ref,
          yf_ref, yr_ref, hprev_ref, cprev_ref,
-         h_ref, c_ref, xz_ref, yf_s, yr_s, hs_s, cs_s) = refs
+         hf_ref, cf_ref, hr_ref, cr_ref, xzf_s, xzr_s,
+         yf_s, yr_s, hs_s, cs_s) = refs
     tc_id = pl.program_id(1)
     cd = jnp.bfloat16 if compute_bf16 else jnp.float32
 
     @pl.when(tc_id == 0)
     def _init():
-        h_ref[...] = jnp.zeros_like(h_ref)
-        c_ref[...] = jnp.zeros_like(c_ref)
+        hf_ref[...] = jnp.zeros_like(hf_ref)
+        cf_ref[...] = jnp.zeros_like(cf_ref)
+        hr_ref[...] = jnp.zeros_like(hr_ref)
+        cr_ref[...] = jnp.zeros_like(cr_ref)
 
-    wbd = wbd_ref[...].astype(cd)
+    whf = whf_ref[...].astype(cd)
+    whr = whr_ref[...].astype(cd)
     if proj_in:
-        _fill_xz_hoisted(xz_ref, xf_ref, xr_ref, xzf_s, xzr_s, t_chunk,
-                         gh // 2)
+        _stage_hoisted(xzf_s, xzr_s, xf_ref, xr_ref)
     else:
-        _fill_xz(xz_ref, xf_ref, xr_ref, wf_ref[...].astype(cd),
-                 wr_ref[...].astype(cd), t_chunk, cd)
-    hp = gh // 2
-    len_gh = jnp.concatenate([len_ref[...]] * (gh // 128), axis=1)
-    lane_ge_hp = (jax.lax.broadcasted_iota(
-        jnp.int32, len_gh.shape, 1) >= hp).astype(jnp.float32)
+        _fill_xz_split(xzf_s, xzr_s, xf_ref, xr_ref,
+                       wf_ref[...].astype(cd), wr_ref[...].astype(cd),
+                       t_chunk, cd)
+    len_hp = jnp.concatenate([len_ref[...]] * (hp // 128), axis=1)
 
     # Statically unrolled over the chunk (Mosaic rejects DYNAMIC stores on
     # the sublane dim; time-leading scratch keeps per-step indexing on the
-    # leading dim — see module docstring). h/c stay in registers.
-    len_hp = len_gh[:, :hp]
-    h, c = h_ref[...], c_ref[...]
+    # leading dim — see module docstring). h/c stay in registers. The two
+    # directions' dots are data-independent — free MXU/VPU overlap.
+    hf, cf = hf_ref[...], cf_ref[...]
+    hr, cr = hr_ref[...], cr_ref[...]
     for r in range(t_chunk):
-        hs_s[r] = h.astype(hs_s.dtype)
-        cs_s[r] = c.astype(cs_s.dtype)
+        hs_s[r] = jnp.concatenate([hf, hr], axis=1).astype(hs_s.dtype)
+        cs_s[r] = jnp.concatenate([cf, cr], axis=1).astype(cs_s.dtype)
         s_f = (tc_id * t_chunk + r).astype(jnp.float32)
-        m = _rev_mask(len_gh, lane_ge_hp, s_f, float(T))
-        z = xz_ref[r] + jnp.dot(
-            h.astype(cd), wbd, preferred_element_type=jnp.float32)
-        gi, gf, go, ci, c_new = _gates(z, c, gh)
-        c = c_new * m
-        h = jnp.tanh(c_new) * go * m
+        zf = xzf_s[r] + jnp.dot(
+            hf.astype(cd), whf, preferred_element_type=jnp.float32)
+        zr_src = xzr_s[t_chunk - 1 - r] if proj_in else xzr_s[r]
+        zr = zr_src + jnp.dot(
+            hr.astype(cd), whr, preferred_element_type=jnp.float32)
+        _, _, gof, _, cf_new = _gates(zf, cf, hp)
+        _, _, gor, _, cr_new = _gates(zr, cr, hp)
+        cf = cf_new
+        hf = jnp.tanh(cf_new) * gof
+        # Reverse boundary reset: zero until chain step s has entered the
+        # row's valid region (s >= T - len, i.e. original time < len).
+        mr = (len_hp > (float(T) - 1.0 - s_f)).astype(jnp.float32)
+        cr = cr_new * mr
+        hr = jnp.tanh(cr_new) * gor * mr
         # yf: mask phantom forward frames at the WRITE (s_f is original
-        # time for forward lanes). yr: chain step s_f is original time
+        # time for the forward half). yr: chain step s_f is original time
         # T-1-s_f; in-block row reversal + the reversed output block map
         # land it at its original-time position.
-        yf_s[r] = (h[:, :hp] * (len_hp > s_f).astype(jnp.float32)
+        yf_s[r] = (hf * (len_hp > s_f).astype(jnp.float32)
                    ).astype(yf_s.dtype)
-        yr_s[t_chunk - 1 - r] = h[:, hp:].astype(yr_s.dtype)
-    h_ref[...] = h
-    c_ref[...] = c
+        yr_s[t_chunk - 1 - r] = hr.astype(yr_s.dtype)
+    hf_ref[...] = hf
+    cf_ref[...] = cf
+    hr_ref[...] = hr
+    cr_ref[...] = cr
     yf_ref[...] = jnp.transpose(yf_s[...], (1, 0, 2))
     yr_ref[...] = jnp.transpose(yr_s[...], (1, 0, 2))
     hprev_ref[...] = jnp.transpose(hs_s[...], (1, 0, 2))
     cprev_ref[...] = jnp.transpose(cs_s[...], (1, 0, 2))
 
 
-def _bwd_kernel(*refs, t_chunk: int, gh: int, T: int, compute_bf16: bool,
+def _bwd_kernel(*refs, t_chunk: int, hp: int, T: int, compute_bf16: bool,
                 proj_in: bool = False, need_dx: bool = True):
     """Reverse-grid backward step over one (b_tile, t_chunk) block.
 
     Recomputes gates and c_new from (xcat views, hprev, cprev); carries
-    Dh/Dc [bt, gh] in registers across the unroll (scratch across chunks);
-    stages dz time-leading, then runs the amortized chunk contractions.
-    dWf/dWr/dWh accumulate across the WHOLE grid in VMEM-resident output
-    blocks (constant index maps). The _rev_mask multiply is the exact VJP
-    of the forward boundary reset; through every phantom frame dz = 0, so
-    phantom frames contribute nothing to any gradient.
+    per-direction Dh/Dc [bt, hp] in registers across the unroll (scratch
+    across chunks); stages dz time-leading, then runs the amortized chunk
+    contractions. dWf/dWr/dWhf/dWhr accumulate across the WHOLE grid in
+    VMEM-resident output blocks (constant index maps); every computed
+    column is a real gradient column (the round-3 gate-major layout
+    computed [*, 8hp] products and discarded half at extraction). The
+    per-direction mask multiplies are the exact VJP of the forward
+    boundary reset / output masking; through every phantom frame dz = 0,
+    so phantom frames contribute nothing to any gradient.
 
     proj_in=True: xz comes from hoisted streams (refs 3-4); the xcat views
     are still streamed for the dWf/dWr contractions, and wf/wr drop out.
@@ -339,122 +308,145 @@ def _bwd_kernel(*refs, t_chunk: int, gh: int, T: int, compute_bf16: bool,
     The output cotangent arrives as two RAW per-direction streams gf/gr
     (no XLA-side masking or flipping): gf in original==chain order, gr in
     original time through the composed-forward block map, rows reversed
-    here to chain order. _full_mask zeroes phantom-frame contributions for
-    both directions in-kernel. dx leaves the same way: dxf through the
-    (grid-composed) original-time map, dxr staged row-reversed through the
-    mirrored map, so the caller just adds the halves — no flip pass."""
+    here to chain order. The frame-validity masks zero phantom-frame
+    contributions for both directions in-kernel. dx leaves the same way:
+    dxf through the (grid-composed) original-time map, dxr staged
+    row-reversed through the mirrored map, so the caller just adds the
+    halves — no flip pass."""
     refs = list(refs)
     if proj_in:
         (xf_ref, xr_ref, xzf_ref, xzr_ref, len_ref,
-         hprev_ref, cprev_ref, gf_ref, gr_ref, wbd_ref, wbdt_ref) = refs[:11]
-        refs = refs[11:]
+         hprev_ref, cprev_ref, gf_ref, gr_ref,
+         whf_ref, whr_ref, whft_ref, whrt_ref) = refs[:13]
+        refs = refs[13:]
         wf_ref = wr_ref = None
     else:
         (xf_ref, xr_ref, len_ref, hprev_ref, cprev_ref, gf_ref, gr_ref,
-         wf_ref, wr_ref, wbd_ref, wbdt_ref) = refs[:11]
-        refs = refs[11:]
+         wf_ref, wr_ref, whf_ref, whr_ref, whft_ref, whrt_ref) = refs[:13]
+        refs = refs[13:]
     if need_dx:
         wxf_ref, wxr_ref, dxf_ref, dxr_ref = refs[:4]
         refs = refs[4:]
-    (dwf_ref, dwr_ref, dwh_ref,
-     Dh_ref, Dc_ref, dz_ref, xz_ref, hp_s, cp_s, gf_s, gr_s) = refs[:11]
-    refs = refs[11:]
+    (dwf_ref, dwr_ref, dwhf_ref, dwhr_ref,
+     Dhf_ref, Dcf_ref, Dhr_ref, Dcr_ref,
+     dzf_ref, dzr_ref, xzf_s, xzr_s, hp_s, cp_s, gf_s, gr_s) = refs[:16]
+    refs = refs[16:]
     if need_dx:
-        dxf_s, dxr_s = refs[:2]
-        refs = refs[2:]
-    if proj_in:
-        xzf_s, xzr_s = refs
+        dxf_s, dxr_s = refs
     b_id, tc_id = pl.program_id(0), pl.program_id(1)
     nT = pl.num_programs(1)
     cd = jnp.bfloat16 if compute_bf16 else jnp.float32
 
     @pl.when(tc_id == 0)
     def _init_carries():
-        Dh_ref[...] = jnp.zeros_like(Dh_ref)
-        Dc_ref[...] = jnp.zeros_like(Dc_ref)
+        Dhf_ref[...] = jnp.zeros_like(Dhf_ref)
+        Dcf_ref[...] = jnp.zeros_like(Dcf_ref)
+        Dhr_ref[...] = jnp.zeros_like(Dhr_ref)
+        Dcr_ref[...] = jnp.zeros_like(Dcr_ref)
 
     @pl.when((b_id == 0) & (tc_id == 0))
     def _init_accums():
         dwf_ref[...] = jnp.zeros_like(dwf_ref)
         dwr_ref[...] = jnp.zeros_like(dwr_ref)
-        dwh_ref[...] = jnp.zeros_like(dwh_ref)
+        dwhf_ref[...] = jnp.zeros_like(dwhf_ref)
+        dwhr_ref[...] = jnp.zeros_like(dwhr_ref)
 
-    wbd = wbd_ref[...].astype(cd)
-    wbdt = wbdt_ref[...].astype(cd)
+    whf = whf_ref[...].astype(cd)
+    whr = whr_ref[...].astype(cd)
+    whft = whft_ref[...].astype(cd)
+    whrt = whrt_ref[...].astype(cd)
     if proj_in:
-        _fill_xz_hoisted(xz_ref, xzf_ref, xzr_ref, xzf_s, xzr_s, t_chunk,
-                         gh // 2)
+        _stage_hoisted(xzf_s, xzr_s, xzf_ref, xzr_ref)
     else:
-        _fill_xz(xz_ref, xf_ref, xr_ref, wf_ref[...].astype(cd),
-                 wr_ref[...].astype(cd), t_chunk, cd)
+        _fill_xz_split(xzf_s, xzr_s, xf_ref, xr_ref,
+                       wf_ref[...].astype(cd), wr_ref[...].astype(cd),
+                       t_chunk, cd)
     # Stage streamed inputs time-leading: one bulk transpose per chunk
     # instead of a per-step in-chain relayout.
     hp_s[...] = jnp.transpose(hprev_ref[...], (1, 0, 2))
     cp_s[...] = jnp.transpose(cprev_ref[...], (1, 0, 2))
     gf_s[...] = jnp.transpose(gf_ref[...], (1, 0, 2))
     gr_s[...] = jnp.transpose(gr_ref[...], (1, 0, 2))
-    hp = gh // 2
-    len_gh = jnp.concatenate([len_ref[...]] * (gh // 128), axis=1)
-    lane_ge_hp = (jax.lax.broadcasted_iota(
-        jnp.int32, len_gh.shape, 1) >= hp).astype(jnp.float32)
+    len_hp = jnp.concatenate([len_ref[...]] * (hp // 128), axis=1)
     chunk0 = (nT - 1 - tc_id) * t_chunk   # first chain step of this block
 
     # NOTE (round-2 measurement): running this VJP elementwise chain in
     # bf16 gave NO speedup on v5e (91.0ms vs 89.2ms bidi2 step) — the VPU
     # runs bf16 elementwise at f32 rate here — while adding ~1e-2 gradient
     # noise, so the chain stays f32.
-    Dh, Dc = Dh_ref[...], Dc_ref[...]
+    Dhf, Dcf = Dhf_ref[...], Dcf_ref[...]
+    Dhr, Dcr = Dhr_ref[...], Dcr_ref[...]
     for r in range(t_chunk - 1, -1, -1):
         h_prev = hp_s[r].astype(jnp.float32)
         c_prev = cp_s[r].astype(jnp.float32)
         s_f = (chunk0 + r).astype(jnp.float32)
-        m = _full_mask(len_gh, lane_ge_hp, s_f, float(T))
-        z = xz_ref[r] + jnp.dot(
-            h_prev.astype(cd), wbd, preferred_element_type=jnp.float32)
-        gi, gf, go, ci, c_new = _gates(z, c_prev, gh)
-        tc_new = jnp.tanh(c_new)
+        zf = xzf_s[r] + jnp.dot(
+            h_prev[:, :hp].astype(cd), whf, preferred_element_type=jnp.float32)
+        zr_src = xzr_s[t_chunk - 1 - r] if proj_in else xzr_s[r]
+        zr = zr_src + jnp.dot(
+            h_prev[:, hp:].astype(cd), whr, preferred_element_type=jnp.float32)
+        gif, gff, gof, cif, cf_new = _gates(zf, c_prev[:, :hp], hp)
+        gir, gfr, gor, cir, cr_new = _gates(zr, c_prev[:, hp:], hp)
+        tcf = jnp.tanh(cf_new)
+        tcr = jnp.tanh(cr_new)
+        mf = (len_hp > s_f).astype(jnp.float32)
+        mr = (len_hp > (float(T) - 1.0 - s_f)).astype(jnp.float32)
 
-        g_r = jnp.concatenate(
-            [gf_s[r], gr_s[t_chunk - 1 - r]], axis=1).astype(jnp.float32)
-        dh_new = (g_r + Dh) * m
-        dc_new = Dc * m + dh_new * go * (1.0 - tc_new * tc_new)
-        dgo = dh_new * tc_new * go * (1.0 - go)
-        dgf = dc_new * c_prev * gf * (1.0 - gf)
-        dgi = dc_new * ci * gi * (1.0 - gi)
-        dci = dc_new * gi * (1.0 - ci * ci)
-        dz = jnp.concatenate([dgi, dgf, dgo, dci], axis=1)   # [bt, 8hp]
+        dhf = (gf_s[r].astype(jnp.float32) + Dhf) * mf
+        dcf = Dcf * mf + dhf * gof * (1.0 - tcf * tcf)
+        dzf = jnp.concatenate(
+            [dcf * cif * gif * (1.0 - gif),
+             dcf * c_prev[:, :hp] * gff * (1.0 - gff),
+             dhf * tcf * gof * (1.0 - gof),
+             dcf * gif * (1.0 - cif * cif)], axis=1)     # [bt, 4hp]
+        Dhf = jnp.dot(dzf.astype(cd), whft, preferred_element_type=jnp.float32)
+        Dcf = dcf * gff
+        dzf_ref[r] = dzf.astype(dzf_ref.dtype)
 
-        Dh = jnp.dot(dz.astype(cd), wbdt, preferred_element_type=jnp.float32)
-        Dc = dc_new * gf
-        dz_ref[r] = dz.astype(dz_ref.dtype)
-    Dh_ref[...] = Dh
-    Dc_ref[...] = Dc
+        dhr = (gr_s[t_chunk - 1 - r].astype(jnp.float32) + Dhr) * mr
+        dcr = Dcr * mr + dhr * gor * (1.0 - tcr * tcr)
+        dzr = jnp.concatenate(
+            [dcr * cir * gir * (1.0 - gir),
+             dcr * c_prev[:, hp:] * gfr * (1.0 - gfr),
+             dhr * tcr * gor * (1.0 - gor),
+             dcr * gir * (1.0 - cir * cir)], axis=1)     # [bt, 4hp]
+        Dhr = jnp.dot(dzr.astype(cd), whrt, preferred_element_type=jnp.float32)
+        Dcr = dcr * gfr
+        dzr_ref[r] = dzr.astype(dzr_ref.dtype)
+    Dhf_ref[...] = Dhf
+    Dcf_ref[...] = Dcf
+    Dhr_ref[...] = Dhr
+    Dcr_ref[...] = Dcr
 
     # Amortized chunk contractions on the MXU, one sub-matmul set per step
-    # (small stack values; see _fill_xz). dz never leaves VMEM.
+    # (small stack values; see _fill_xz_split). dz never leaves VMEM.
     tdot = functools.partial(
         jax.lax.dot_general, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     wxf = wxf_ref[...].astype(cd) if need_dx else None
     wxr = wxr_ref[...].astype(cd) if need_dx else None
-    dwf, dwr, dwh = dwf_ref[...], dwr_ref[...], dwh_ref[...]
+    dwf, dwr = dwf_ref[...], dwr_ref[...]
+    dwhf, dwhr = dwhf_ref[...], dwhr_ref[...]
     for k in range(t_chunk):
-        dzk = dz_ref[k].astype(cd)
-        dwf += tdot(xf_ref[:, k, :].astype(cd), dzk)
-        dwr += tdot(xr_ref[:, t_chunk - 1 - k, :].astype(cd), dzk)
-        dwh += tdot(hp_s[k].astype(cd), dzk)
+        dzfk = dzf_ref[k].astype(cd)
+        dzrk = dzr_ref[k].astype(cd)
+        dwf += tdot(xf_ref[:, k, :].astype(cd), dzfk)
+        dwr += tdot(xr_ref[:, t_chunk - 1 - k, :].astype(cd), dzrk)
+        dwhf += tdot(hp_s[k][:, :hp].astype(cd), dzfk)
+        dwhr += tdot(hp_s[k][:, hp:].astype(cd), dzrk)
         if need_dx:
             # dxf at chain row k == original row k of this (rev-mapped)
             # block; dxr rows reverse into the mirrored (fwd-mapped) block.
-            dxf_s[k] = jnp.dot(dzk, wxf,
+            dxf_s[k] = jnp.dot(dzfk, wxf,
                                preferred_element_type=jnp.float32
                                ).astype(dxf_s.dtype)
             dxr_s[t_chunk - 1 - k] = jnp.dot(
-                dzk, wxr, preferred_element_type=jnp.float32
+                dzrk, wxr, preferred_element_type=jnp.float32
             ).astype(dxr_s.dtype)
     dwf_ref[...] = dwf
     dwr_ref[...] = dwr
-    dwh_ref[...] = dwh
+    dwhf_ref[...] = dwhf
+    dwhr_ref[...] = dwhr
     if need_dx:
         dxf_ref[...] = jnp.transpose(dxf_s[...], (1, 0, 2))
         dxr_ref[...] = jnp.transpose(dxr_s[...], (1, 0, 2))
@@ -527,11 +519,9 @@ def _fwd_trow_bytes(bt: int, dc: int, hp: int, nb: int,
     gh = 2 * hp
     sdim = 4 * hp if hoisted else dc        # hoisted xz streams vs xcat
     xcat = 2 * 2 * bt * sdim * nb           # two double-buffered views
-    outs = 2 * 3 * bt * gh * nb             # h_seq/hprev/cprev blocks
-    xz_scratch = bt * 4 * gh * 4            # f32 chunk projection
+    outs = 2 * 3 * bt * gh * nb             # y halves + hprev/cprev blocks
+    xz_scratch = 2 * bt * 4 * hp * 4        # f32 per-direction projections
     staging = 3 * bt * gh * nb              # time-leading output staging
-    if hoisted:
-        staging += 2 * bt * 4 * hp * nb     # stream time-leading staging
     return xcat + outs + xz_scratch + staging
 
 
@@ -541,10 +531,9 @@ def _bwd_trow_bytes(bt: int, dc: int, hp: int, nb: int,
     ins = 2 * bt * (2 * dc + 3 * gh) * nb   # x views + hprev/cprev/g
     if hoisted:
         ins += 2 * 2 * bt * 4 * hp * nb     # + the two xz streams
-        ins += 2 * bt * 4 * hp * nb         # + their time-leading staging
     dx = 2 * 2 * bt * dc * nb               # dx block + staging
-    xz_scratch = bt * 4 * gh * 4
-    dz_scratch = bt * 4 * gh * nb
+    xz_scratch = 2 * bt * 4 * hp * 4        # f32 per-direction projections
+    dz_scratch = 2 * bt * 4 * hp * nb
     staging = 3 * bt * gh * nb              # hprev/cprev/g staging
     return ins + dx + xz_scratch + dz_scratch + staging
 
@@ -569,14 +558,13 @@ def _proj_stream(xcat, params, H, hp, cd):
 def _fixed_bytes(dc: int, hp: int, bt: int, nb: int,
                  hoisted: bool = False) -> int:
     """Weights + carries + accumulators resident across the grid. When the
-    input projection is hoisted (dc > hp) the [dc, 4gh] wf/wr blocks drop
+    input projection is hoisted (dc > hp) the [dc, 4hp] wf/wr blocks drop
     out of the kernel (replaced by the compact proj streams, which are
     per-row streamed and counted in _bwd_trow_bytes)."""
-    gh = 2 * hp
     win = 0 if hoisted else 2 * dc
-    weights = (win + 2 * gh) * 4 * gh * nb + 4 * gh * 2 * dc * nb
-    carries = 2 * bt * gh * 4
-    accums = (2 * dc + gh) * 4 * gh * 4
+    weights = (win + 4 * hp) * 4 * hp * nb + 2 * 4 * hp * dc * nb
+    carries = 4 * bt * hp * 4
+    accums = (2 * dc + 2 * hp) * 4 * hp * 4
     return weights + carries + accums
 
 
@@ -586,15 +574,16 @@ def _len_bc(lengths, B, T):
     return jnp.broadcast_to(lens[:, None], (B, 128))
 
 
-def _call_fwd(xcat, len_bc, wf, wr, wbd, *, b_tile, t_chunk, interpret,
+def _call_fwd(xcat, len_bc, wf, wr, whf, whr, *, b_tile, t_chunk, interpret,
               compute_bf16, seq_dtype, proj=None):
     """proj=(xzf, xzr) switches to the hoisted-projection variant: the two
     compact [B, T, 4hp] streams replace the xcat views and wf/wr."""
     B, T, dc = xcat.shape
-    gh = wbd.shape[0]
+    hp = whf.shape[0]
+    gh = 2 * hp
     nT = T // t_chunk
     grid = (B // b_tile, nT)
-    sdim = 4 * (gh // 2) if proj is not None else dc
+    sdim = 4 * hp if proj is not None else dc
     xspec_f = pl.BlockSpec((b_tile, t_chunk, sdim), lambda b, t: (b, t, 0),
                            memory_space=pltpu.VMEM)
     xspec_r = pl.BlockSpec((b_tile, t_chunk, sdim),
@@ -602,7 +591,6 @@ def _call_fwd(xcat, len_bc, wf, wr, wbd, *, b_tile, t_chunk, interpret,
                            memory_space=pltpu.VMEM)
     stream = pl.BlockSpec((b_tile, t_chunk, gh), lambda b, t: (b, t, 0),
                           memory_space=pltpu.VMEM)
-    hp = gh // 2
     y_fwd = pl.BlockSpec((b_tile, t_chunk, hp), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM)
     y_rev = pl.BlockSpec((b_tile, t_chunk, hp), lambda b, t: (b, nT - 1 - t, 0),
@@ -612,29 +600,31 @@ def _call_fwd(xcat, len_bc, wf, wr, wbd, *, b_tile, t_chunk, interpret,
     if proj is not None:
         in_specs = [xspec_f, xspec_r,
                     const2((b_tile, 128), lambda b, t: (b, 0)),
-                    const2((gh, 4 * gh))]
-        operands = (proj[0], proj[1], len_bc, wbd)
+                    const2((hp, 4 * hp)),
+                    const2((hp, 4 * hp))]
+        operands = (proj[0], proj[1], len_bc, whf, whr)
     else:
         in_specs = [xspec_f, xspec_r,
                     const2((b_tile, 128), lambda b, t: (b, 0)),
-                    const2((dc, 4 * gh)),
-                    const2((dc, 4 * gh)),
-                    const2((gh, 4 * gh))]
-        operands = (xcat, xcat, len_bc, wf, wr, wbd)
+                    const2((dc, 4 * hp)),
+                    const2((dc, 4 * hp)),
+                    const2((hp, 4 * hp)),
+                    const2((hp, 4 * hp))]
+        operands = (xcat, xcat, len_bc, wf, wr, whf, whr)
     scratch = [
-        pltpu.VMEM((b_tile, gh), jnp.float32),
-        pltpu.VMEM((b_tile, gh), jnp.float32),
-        pltpu.VMEM((t_chunk, b_tile, 4 * gh), jnp.float32),
-        pltpu.VMEM((t_chunk, b_tile, hp), seq_dtype),
-        pltpu.VMEM((t_chunk, b_tile, hp), seq_dtype),
-        pltpu.VMEM((t_chunk, b_tile, gh), seq_dtype),
-        pltpu.VMEM((t_chunk, b_tile, gh), seq_dtype),
+        pltpu.VMEM((b_tile, hp), jnp.float32),   # hf
+        pltpu.VMEM((b_tile, hp), jnp.float32),   # cf
+        pltpu.VMEM((b_tile, hp), jnp.float32),   # hr
+        pltpu.VMEM((b_tile, hp), jnp.float32),   # cr
+        pltpu.VMEM((t_chunk, b_tile, 4 * hp), jnp.float32),  # xzf
+        pltpu.VMEM((t_chunk, b_tile, 4 * hp), jnp.float32),  # xzr
+        pltpu.VMEM((t_chunk, b_tile, hp), seq_dtype),        # yf staging
+        pltpu.VMEM((t_chunk, b_tile, hp), seq_dtype),        # yr staging
+        pltpu.VMEM((t_chunk, b_tile, gh), seq_dtype),        # hprev staging
+        pltpu.VMEM((t_chunk, b_tile, gh), seq_dtype),        # cprev staging
     ]
-    if proj is not None:
-        sdt = proj[0].dtype
-        scratch += [pltpu.VMEM((t_chunk, b_tile, sdim), sdt)] * 2
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, t_chunk=t_chunk, gh=gh, T=T,
+        functools.partial(_fwd_kernel, t_chunk=t_chunk, hp=hp, T=T,
                           compute_bf16=compute_bf16,
                           proj_in=proj is not None),
         grid=grid,
@@ -650,7 +640,7 @@ def _call_fwd(xcat, len_bc, wf, wr, wbd, *, b_tile, t_chunk, interpret,
     )(*operands)
 
 
-def _call_bwd(xcat, len_bc, hprev, cprev, gyf, gyr, wf, wr, wbd, wxfr,
+def _call_bwd(xcat, len_bc, hprev, cprev, gyf, gyr, wf, wr, whf, whr, wxfr,
               *, b_tile, t_chunk, interpret, compute_bf16, dx_dtype,
               proj=None, need_dx=True):
     """proj=(xzf, xzr) adds the hoisted-projection streams (gate
@@ -660,11 +650,12 @@ def _call_bwd(xcat, len_bc, hprev, cprev, gyf, gyr, wf, wr, wbd, wxfr,
 
     gyf/gyr are the RAW per-direction output cotangents [B, T, hp], both
     in original time order (masking and the reverse direction's
-    chain-order relayout happen in-kernel via _full_mask and the block
-    maps). Returns (dxf, dxr) halves likewise in original time order."""
+    chain-order relayout happen in-kernel via the per-direction masks and
+    the block maps). Returns (dxf, dxr) halves likewise in original time
+    order."""
     B, T, dc = xcat.shape
-    gh = wbd.shape[0]
-    hp = gh // 2
+    hp = whf.shape[0]
+    gh = 2 * hp
     nT = T // t_chunk
     grid = (B // b_tile, nT)
     rev = lambda b, t: (b, nT - 1 - t, 0)
@@ -683,6 +674,11 @@ def _call_bwd(xcat, len_bc, hprev, cprev, gyf, gyr, wf, wr, wbd, wxfr,
         shape, m, memory_space=pltpu.VMEM)
     wdt = jnp.bfloat16 if compute_bf16 else jnp.float32
     dz_dt = jnp.bfloat16 if compute_bf16 else jnp.float32
+    whs = [whf.astype(wdt), whr.astype(wdt),
+           jnp.swapaxes(whf, 0, 1).astype(wdt),
+           jnp.swapaxes(whr, 0, 1).astype(wdt)]
+    wh_specs = [const2((hp, 4 * hp)), const2((hp, 4 * hp)),
+                const2((4 * hp, hp)), const2((4 * hp, hp))]
     if proj is not None:
         sdim = 4 * hp
         zspec_f = pl.BlockSpec((b_tile, t_chunk, sdim), rev,
@@ -693,38 +689,34 @@ def _call_bwd(xcat, len_bc, hprev, cprev, gyf, gyr, wf, wr, wbd, wxfr,
             xspec_f, xspec_r, zspec_f, zspec_r,
             const2((b_tile, 128), lambda b, t: (b, 0)),
             stream, stream, g_f, g_r,
-            const2((gh, 4 * gh)),
-            const2((4 * gh, gh)),
-        ]
+        ] + wh_specs
         operands = [xcat, xcat, proj[0], proj[1], len_bc,
-                    hprev, cprev, gyf, gyr, wbd.astype(wdt),
-                    jnp.swapaxes(wbd, 0, 1).astype(wdt)]
+                    hprev, cprev, gyf, gyr] + whs
     else:
         in_specs = [
             xspec_f, xspec_r,
             const2((b_tile, 128), lambda b, t: (b, 0)),
             stream, stream, g_f, g_r,
-            const2((dc, 4 * gh)),
-            const2((dc, 4 * gh)),
-            const2((gh, 4 * gh)),
-            const2((4 * gh, gh)),
-        ]
+            const2((dc, 4 * hp)),
+            const2((dc, 4 * hp)),
+        ] + wh_specs
         operands = [xcat, xcat, len_bc, hprev, cprev, gyf, gyr,
-                    wf.astype(wdt), wr.astype(wdt), wbd.astype(wdt),
-                    jnp.swapaxes(wbd, 0, 1).astype(wdt)]
+                    wf.astype(wdt), wr.astype(wdt)] + whs
     out_specs = [
-        const2((dc, 4 * gh)),
-        const2((dc, 4 * gh)),
-        const2((gh, 4 * gh)),
+        const2((dc, 4 * hp)),
+        const2((dc, 4 * hp)),
+        const2((hp, 4 * hp)),
+        const2((hp, 4 * hp)),
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((dc, 4 * gh), jnp.float32),
-        jax.ShapeDtypeStruct((dc, 4 * gh), jnp.float32),
-        jax.ShapeDtypeStruct((gh, 4 * gh), jnp.float32),
+        jax.ShapeDtypeStruct((dc, 4 * hp), jnp.float32),
+        jax.ShapeDtypeStruct((dc, 4 * hp), jnp.float32),
+        jax.ShapeDtypeStruct((hp, 4 * hp), jnp.float32),
+        jax.ShapeDtypeStruct((hp, 4 * hp), jnp.float32),
     ]
     if need_dx:
         D = wxfr[0].shape[1]
-        in_specs += [const2((4 * gh, D)), const2((4 * gh, D))]
+        in_specs += [const2((4 * hp, D)), const2((4 * hp, D))]
         operands += [wxfr[0].astype(wdt), wxfr[1].astype(wdt)]
         out_specs = [pl.BlockSpec((b_tile, t_chunk, D), rev,
                                   memory_space=pltpu.VMEM),
@@ -732,22 +724,23 @@ def _call_bwd(xcat, len_bc, hprev, cprev, gyf, gyr, wf, wr, wbd, wxfr,
                                   memory_space=pltpu.VMEM)] + out_specs
         out_shape = [jax.ShapeDtypeStruct((B, T, D), dx_dtype)] * 2 + out_shape
     scratch = [
-        pltpu.VMEM((b_tile, gh), jnp.float32),
-        pltpu.VMEM((b_tile, gh), jnp.float32),
-        pltpu.VMEM((t_chunk, b_tile, 4 * gh), dz_dt),
-        pltpu.VMEM((t_chunk, b_tile, 4 * gh), jnp.float32),
-        pltpu.VMEM((t_chunk, b_tile, gh), dz_dt),
-        pltpu.VMEM((t_chunk, b_tile, gh), dz_dt),
-        pltpu.VMEM((t_chunk, b_tile, hp), dz_dt),
-        pltpu.VMEM((t_chunk, b_tile, hp), dz_dt),
+        pltpu.VMEM((b_tile, hp), jnp.float32),   # Dhf
+        pltpu.VMEM((b_tile, hp), jnp.float32),   # Dcf
+        pltpu.VMEM((b_tile, hp), jnp.float32),   # Dhr
+        pltpu.VMEM((b_tile, hp), jnp.float32),   # Dcr
+        pltpu.VMEM((t_chunk, b_tile, 4 * hp), dz_dt),        # dzf
+        pltpu.VMEM((t_chunk, b_tile, 4 * hp), dz_dt),        # dzr
+        pltpu.VMEM((t_chunk, b_tile, 4 * hp), jnp.float32),  # xzf
+        pltpu.VMEM((t_chunk, b_tile, 4 * hp), jnp.float32),  # xzr
+        pltpu.VMEM((t_chunk, b_tile, gh), dz_dt),            # hprev staging
+        pltpu.VMEM((t_chunk, b_tile, gh), dz_dt),            # cprev staging
+        pltpu.VMEM((t_chunk, b_tile, hp), dz_dt),            # gf staging
+        pltpu.VMEM((t_chunk, b_tile, hp), dz_dt),            # gr staging
     ]
     if need_dx:
         scratch += [pltpu.VMEM((t_chunk, b_tile, D), dx_dtype)] * 2
-    if proj is not None:
-        scratch += [pltpu.VMEM((t_chunk, b_tile, 4 * hp),
-                               proj[0].dtype)] * 2
     out = pl.pallas_call(
-        functools.partial(_bwd_kernel, t_chunk=t_chunk, gh=gh, T=T,
+        functools.partial(_bwd_kernel, t_chunk=t_chunk, hp=hp, T=T,
                           compute_bf16=compute_bf16,
                           proj_in=proj is not None, need_dx=need_dx),
         grid=grid,
@@ -766,18 +759,19 @@ def _call_bwd(xcat, len_bc, hprev, cprev, gyf, gyr, wf, wr, wbd, wxfr,
 
 
 def _prep(params_f, params_r, x, lengths, bf16: bool):
-    """Pack the [x | 1] stream and the gate-major weights. NO gathers —
-    the reverse direction is realized inside the kernels via time-reversed
-    block views plus the boundary-reset mask."""
+    """Pack the [x | 1] stream and the per-direction gate-padded weights.
+    NO gathers — the reverse direction is realized inside the kernels via
+    time-reversed block views plus the boundary-reset mask."""
     B, T, D = x.shape
     H = params_f["Wh"].shape[0]
     hp = _hp_for(H)
     xcat = jnp.concatenate([x, jnp.ones((B, T, 1), x.dtype)], axis=-1)
     xcat = xcat.astype(jnp.bfloat16 if bf16 else jnp.float32)
-    wf = _make_wdir(params_f, 0, H, D, hp, with_bias_of=params_r)
-    wr = _make_wdir(params_r, 1, H, D, hp)
-    wbd = _make_wbd(params_f, params_r, H, hp)
-    return xcat, wf, wr, wbd, _len_bc(lengths, B, T), H, hp
+    wf = _make_win(params_f, H, D, hp)
+    wr = _make_win(params_r, H, D, hp)
+    whf = _make_wh(params_f, H, hp)
+    whr = _make_wh(params_r, H, hp)
+    return xcat, wf, wr, whf, whr, _len_bc(lengths, B, T), H, hp
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
@@ -806,8 +800,8 @@ def bidi_lstm_pallas(params_f: dict, params_r: dict, x: jax.Array,
 
 def _fwd_impl(params_f, params_r, x, lengths, t_chunk, interpret, xz_bf16=True):
     B, T, D = x.shape
-    xcat, wf, wr, wbd, len_bc, H, hp = _prep(params_f, params_r, x, lengths,
-                                             xz_bf16)
+    xcat, wf, wr, whf, whr, len_bc, H, hp = _prep(params_f, params_r, x,
+                                                  lengths, xz_bf16)
     dc = D + 1
     nb = 2 if xz_bf16 else 4
     wdt = jnp.bfloat16 if xz_bf16 else jnp.float32
@@ -822,8 +816,9 @@ def _fwd_impl(params_f, params_r, x, lengths, t_chunk, interpret, xz_bf16=True):
         lambda b: _fwd_trow_bytes(b, dc, hp, nb, hoisted=proj is not None),
         t_chunk)
     yf, yr, hprev, cprev = _call_fwd(
-        xcat, len_bc, wf.astype(wdt), wr.astype(wdt), wbd.astype(wdt),
-        b_tile=bt, t_chunk=tc, interpret=interpret, compute_bf16=xz_bf16,
+        xcat, len_bc, wf.astype(wdt), wr.astype(wdt), whf.astype(wdt),
+        whr.astype(wdt), b_tile=bt, t_chunk=tc, interpret=interpret,
+        compute_bf16=xz_bf16,
         seq_dtype=jnp.bfloat16 if xz_bf16 else jnp.float32, proj=proj)
     # Both halves come out of the kernel ALREADY in original time order
     # (reversed output block map + in-block row reversal for yr) and
@@ -835,7 +830,7 @@ def _fwd_impl(params_f, params_r, x, lengths, t_chunk, interpret, xz_bf16=True):
     # while halving the inter-layer glue bandwidth.
     y_dt = jnp.bfloat16 if (xz_bf16 and x.dtype == jnp.float32) else x.dtype
     y = jnp.concatenate([yf[..., :H], yr[..., :H]], axis=-1).astype(y_dt)
-    res = (params_f, params_r, x, lengths, xcat, wf, wr, wbd, len_bc,
+    res = (params_f, params_r, x, lengths, xcat, wf, wr, whf, whr, len_bc,
            hprev, cprev, H, hp, proj)
     return y, res
 
@@ -847,14 +842,13 @@ def _vjp_fwd(params_f, params_r, x, lengths, t_chunk, interpret, xz_bf16,
 
 
 def _vjp_bwd(t_chunk, interpret, xz_bf16, need_dx, res, gy):
-    (params_f, params_r, x, lengths, xcat, wf, wr, wbd, len_bc,
+    (params_f, params_r, x, lengths, xcat, wf, wr, whf, whr, len_bc,
      hprev, cprev, H, hp, proj) = res
-    gh = 2 * hp
     B, T, D = x.shape
     dc = D + 1
     # RAW per-direction cotangent halves, both in ORIGINAL time order,
-    # lane-padded H -> hp. No mask multiply (the kernel's _full_mask
-    # zeroes phantom frames) and no flip pass (the kernel's block maps
+    # lane-padded H -> hp. No mask multiply (the kernel's per-direction
+    # masks zero phantom frames) and no flip pass (the kernel's block maps
     # re-order the reverse half to chain order) — the former
     # zeros+set+flip gseq assembly was a full HBM pass over [B,T,2hp].
     gdt = jnp.bfloat16 if xz_bf16 else jnp.float32
@@ -869,17 +863,17 @@ def _vjp_bwd(t_chunk, interpret, xz_bf16, need_dx, res, gy):
         B, T,
         lambda b: _bwd_trow_bytes(b, dc, hp, nb, hoisted=proj is not None),
         t_chunk)
-    dxf, dxr, dwf, dwr, dwh = _call_bwd(
-        xcat, len_bc, hprev, cprev, gyf, gyr, wf, wr, wbd, wxfr,
+    dxf, dxr, dwf, dwr, dwhf, dwhr = _call_bwd(
+        xcat, len_bc, hprev, cprev, gyf, gyr, wf, wr, whf, whr, wxfr,
         b_tile=bt, t_chunk=tc, interpret=interpret, compute_bf16=xz_bf16,
         dx_dtype=gdt, proj=proj, need_dx=need_dx)
 
-    # Gate-major -> reference-layout extraction on the small weight grads.
+    # Gate-padded -> reference-layout extraction on the small weight grads.
     grads = []
-    for g, p, dwx in ((0, params_f, dwf), (1, params_r, dwr)):
-        dWx = _gm_cols(dwx[:D], g, H, hp=hp)
-        db = _gm_cols(dwx[D], g, H, hp=hp)
-        dWh = _gm_cols(dwh[g * hp:g * hp + H], g, H, hp=hp)
+    for p, dwx, dwh in ((params_f, dwf, dwhf), (params_r, dwr, dwhr)):
+        dWx = _ref_cols(dwx[:D], H, hp=hp)
+        db = _ref_cols(dwx[D], H, hp=hp)
+        dWh = _ref_cols(dwh[:H], H, hp=hp)
         grads.append({"Wx": dWx.astype(p["Wx"].dtype),
                       "Wh": dWh.astype(p["Wh"].dtype),
                       "b": db.astype(p["b"].dtype)})

@@ -230,23 +230,28 @@ def ctc_align_targets_batched(
     # lmatch[b,t,s] = log out[b,t,target_ids[b,s]]; NEG for invalid states.
     if use_pallas:
         # One-hot contraction instead of take_along_axis: the MXU batched
-        # matmul beats the lane gather on TPU. precision=HIGHEST is
-        # REQUIRED for exactness: TPU default matmul precision quantizes
-        # f32 operands to bf16 on the MXU, and quantized lmatch noises the
-        # alignment targets enough to stall CTC training (round-2
-        # regression: config-3 CER stuck at ~46% vs <1% at 100k trials;
-        # hardware-only — CPU interpret runs true f32 and shows parity).
-        # With HIGHEST the one-hot contraction matches the gather to
-        # ~f32 ulp (selected probabilities times exactly 1.0).
-        # Round-3 measurement doubled down on this choice: on the
-        # tunneled-v5e backend, take_along_axis over the class axis
-        # itself returns WRONG values (max abs err 0.023 vs numpy at
-        # [8,16,96]x[8,128] — a backend gather bug; exact on CPU), while
-        # the HIGHEST einsum is bit-exact vs numpy. The gather branch
-        # below must stay CPU-only.
+        # matmul beats the lane gather on TPU. Raised precision is
+        # REQUIRED for correctness: TPU DEFAULT matmul precision
+        # quantizes f32 operands to bf16 on the MXU (~0.4% relative
+        # error), and quantized lmatch noises the alignment targets
+        # enough to stall CTC training (round-2 regression: config-3 CER
+        # stuck at ~46% vs <1% at 100k trials; hardware-only — CPU
+        # interpret runs true f32 and shows parity). HIGH (bf16x3) is
+        # the right tier, measured round 4 on the tunneled v5e: because
+        # the one-hot operand is EXACT in bf16 (its low-part split is
+        # zero), the 3-pass product carries relative error <= 1.5e-5
+        # even on LO-floored probabilities — log-domain error 1.5e-5,
+        # 250x tighter than the bf16 failure mode and far below any
+        # training-relevant scale — while HIGHEST (f32 6-pass) costs a
+        # measured 0.46ms/step of pure precision tax at the bench shape
+        # (benchmarks/profile_ctc_loop.py). Round-3 note retained: on
+        # the tunneled-v5e backend, take_along_axis over the class axis
+        # itself returns WRONG values (max abs err 0.023 vs numpy — a
+        # backend gather bug; exact on CPU), so the gather branch below
+        # must stay CPU-only.
         prod = jnp.einsum("btc,bsc->bts", out, onehot,
                           preferred_element_type=f32,
-                          precision=jax.lax.Precision.HIGHEST)
+                          precision=jax.lax.Precision.HIGH)
         lmatch = jnp.log(jnp.maximum(prod, 1e-30))
     else:
         gathered = jnp.take_along_axis(
@@ -287,10 +292,12 @@ def ctc_align_targets_batched(
         col = jnp.sum(epath, axis=1, keepdims=True)                  # per-state mass over time
         epath = epath / jnp.where(col == 0.0, 1e-9, col)
 
-    # HIGHEST here too: the result IS the training target; TPU default
-    # precision would round epath/onehot to bf16 on the MXU.
+    # Raised precision here too: the result IS the training target; TPU
+    # default precision would round epath/onehot to bf16 on the MXU.
+    # HIGH suffices for the same reason as lmatch above (one-hot operand
+    # exact in bf16 -> relative error <= 1.5e-5).
     aligned = jnp.einsum("bts,bsc->btc", epath, onehot,
-                         precision=jax.lax.Precision.HIGHEST)
+                         precision=jax.lax.Precision.HIGH)
     aligned = jnp.maximum(aligned, lo)
     aligned = aligned / jnp.sum(aligned, axis=2, keepdims=True)
     return aligned[:B]

@@ -139,6 +139,13 @@ class ApplyCtx:
                                  # may skip the dx cotangent. Opt-in from
                                  # the train losses; False keeps apply_net
                                  # fully differentiable in x.
+    inference: bool = False      # no-grad forward (predict/eval): fused
+                                 # kernels may skip the pre-step state
+                                 # streams the backward pass would need.
+                                 # Under jax.grad the custom_vjp forward
+                                 # rule still emits them, so setting this
+                                 # wrongly costs correctness nothing —
+                                 # only the skipped-work speedup.
 
 
 def init_net(spec: NetSpec, key: jax.Array) -> dict:
@@ -155,7 +162,8 @@ def init_net(spec: NetSpec, key: jax.Array) -> dict:
 def apply_net(spec: NetSpec, params: dict, x: jax.Array,
               lengths: Optional[jax.Array] = None, *,
               logits: bool = False, compute_dtype=None,
-              fuse_bidi: bool = True, input_is_leaf: bool = False) -> jax.Array:
+              fuse_bidi: bool = True, input_is_leaf: bool = False,
+              inference: bool = False) -> jax.Array:
     """Pure forward pass: [B, T, D] right-padded batch -> [B, T, O].
 
     ``logits=True`` makes the outermost SoftmaxLayer return pre-softmax
@@ -166,7 +174,8 @@ def apply_net(spec: NetSpec, params: dict, x: jax.Array,
     (used to test its equivalence to the literal combinator semantics).
     """
     ctx = ApplyCtx(logits=logits, compute_dtype=compute_dtype,
-                   fuse_bidi=fuse_bidi, input_is_leaf=input_is_leaf)
+                   fuse_bidi=fuse_bidi, input_is_leaf=input_is_leaf,
+                   inference=inference)
     return _apply(spec, params, x, lengths, ctx)
 
 
@@ -356,7 +365,8 @@ def _parallel_apply(spec, params, x, lengths, ctx):
             # has no consumer, and the custom_vjp body is opaque to XLA DCE
             # — drop the dx work at trace time instead.
             return bidi_lstm_pallas(pf, pr, x, lengths,
-                                    need_dx=not ctx.input_is_leaf)
+                                    need_dx=not ctx.input_is_leaf,
+                                    with_state=not ctx.inference)
         return bidi_lstm_apply(pf, pr, x, lengths,
                                compute_dtype=ctx.compute_dtype)
     sub_ctx = dataclasses.replace(ctx, logits=False)

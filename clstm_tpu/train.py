@@ -382,7 +382,8 @@ def make_predict_step(spec: NetSpec, *, compute_dtype=None, mesh=None,
     compute path. Batch rows must divide by the mesh's axis size."""
 
     def predict(params: dict, x: jax.Array, lengths: Optional[jax.Array]):
-        probs = apply_net(spec, params, x, lengths, compute_dtype=compute_dtype)
+        probs = apply_net(spec, params, x, lengths, compute_dtype=compute_dtype,
+                          inference=True)
         return greedy_frames(probs.astype(jnp.float32))
 
     if mesh is None:

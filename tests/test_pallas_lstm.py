@@ -219,3 +219,28 @@ def test_train_loss_grads_unchanged_by_input_leaf_skip():
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_with_state_false_same_output():
+    """with_state=False (inference mode) must return bit-identical y to
+    the state-emitting kernel — it only skips the hpf/hpr/cpf/cpr streams
+    the backward pass would consume — and must still differentiate
+    correctly (the custom_vjp forward rule re-runs WITH state)."""
+    pf, pr, x, lengths = _setup()
+    full = bidi_lstm_pallas(pf, pr, x, lengths, 8, True, False)
+    lean = bidi_lstm_pallas(pf, pr, x, lengths, 8, True, False, True, False)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(lean))
+
+    tgt = jax.random.normal(jax.random.PRNGKey(9), (4, 16, 14))
+
+    def loss(with_state):
+        def f(pf_, pr_):
+            y = bidi_lstm_pallas(pf_, pr_, x, lengths, 8, True, False,
+                                 True, with_state)
+            return jnp.sum((y - tgt) ** 2)
+        return jax.grad(f, argnums=(0, 1))(pf, pr)
+
+    g_full = loss(True)
+    g_lean = loss(False)
+    for a, b in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_lean)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -1,15 +1,23 @@
 #!/bin/bash
-# Config-4 corpus-size scaling (round-4 VERDICT item 5): is the ~2.0-2.3%
-# plateau an intrinsic 351-class near-homoglyph ambiguity floor, or just
-# "500 train lines is small for 351 classes"?
+# Config-4 corpus-scaling probe (round-3 verdict weak #6 / action #5):
+# does the ~2.0-2.3% CER plateau recorded by scripts/r3_config4.sh at
+# 500 train lines survive more data, i.e. is it a 351-class homoglyph
+# ambiguity floor (intrinsic) or just "500 lines is small for 351
+# classes" (corpus-limited)?
 #
-# Same generator, vocabulary, rendering profile, recipe and fresh-200
-# eval as scripts/r3_config4.sh (winning recipe: stage 1 lr=1e-3 1M
-# trials, stage 2 load= lr=5e-5 1M trials, B=8 clip=10 initial=0.1);
-# the ONLY variable is the training-corpus size: 500 (r3 anchor) vs
-# 2,000 vs 5,000 lines. All sizes share the seed-0 generator stream and
-# the seed-7 fresh set, so numbers are directly comparable to the r3
-# table in BASELINE.md.
+# Same charset builder, rendering profile, vocabulary and fresh-200
+# eval as r3_config4.sh — the ONLY variable is the training corpus
+# size (2,000 and 5,000 lines vs round 3's 500). Two-stage recipe per
+# corpus size: 1M trials warm (lrate=1e-3, the r3 stage-1 winner),
+# then 1M cooled (lrate=5e-5) from the stage-1 best.
+#
+# Recorded result (runs/r4/c4x-*.log, runs/r4/eval.jsonl):
+#   lines  stage-1 test/fresh   stage-2 test/fresh
+#    500      2.9% / 2.1%          2.3% / 2.3%     (runs/r3, for scale)
+#   2000      0.29% / 0.32%        0.17% / 0.19%
+#   5000      0.06% / ...          ... / ...
+# The plateau is corpus-size-limited, NOT an intrinsic ambiguity
+# floor: 4x the data cuts CER ~10x at identical capacity and recipe.
 set -e
 cd "$(dirname "$0")/.."
 
@@ -17,7 +25,7 @@ WORK="${WORK:-/tmp/clstm_c4_scale}"
 OUT="runs/r4"
 mkdir -p "$WORK" "$OUT"
 
-if [ ! -f "$WORK/fresh.files" ]; then
+if [ ! -f "$WORK/train5000.files" ]; then
 python - "$WORK" <<'EOF'
 import sys
 import unicodedata
@@ -27,7 +35,8 @@ from clstm_tpu.data.lines import LineGenerator, make_dataset_dir
 work = sys.argv[1]
 
 def big_charset(fontpath):
-    """Same rendered-glyph-deduped large charset as r3_config4.sh."""
+    """Renderable letters/digits, deduped by rendered glyph — same
+    builder as scripts/r3_config4.sh (Latin+ext/Greek/Cyrillic)."""
     f = ImageFont.truetype(fontpath, 32)
     out = []
     seen = set()
@@ -79,12 +88,11 @@ g = make_gen(0)
 words = vocab(g)
 print("# charset classes:", len(set(g.charset)) + 1)
 texts = sentences(g, words, 5050)
-# shared test set (the tail 50, as r3 used indices 500:550)
+for n in (2000, 5000):
+    d = make_dataset_dir(f"{work}/train{n}", n, gen=g, texts=texts[:n])
+    open(f"{work}/train{n}.files", "w").write(open(d).read())
 test = make_dataset_dir(f"{work}/test", 50, gen=g, texts=texts[5000:])
 open(f"{work}/test.files", "w").write(open(test).read())
-for n in (2000, 5000):
-    tr = make_dataset_dir(f"{work}/train{n}", n, gen=g, texts=texts[:n])
-    open(f"{work}/train{n}.files", "w").write(open(tr).read())
 g2 = make_gen(7)
 fresh = make_dataset_dir(f"{work}/fresh", 200, gen=g2,
                          texts=sentences(g2, words, 200))
@@ -93,34 +101,35 @@ print("# config-4 scaling datasets ready in", work)
 EOF
 fi
 
-run () {  # name trainfile extra-env...
-    local name="$1"; shift
-    local trainfile="$1"; shift
+run () {  # name nlines extra-env...
+    local name="$1" nlines="$2"; shift 2
     if [ -f "$OUT/$name.log" ] && grep -q "^# done:" "$OUT/$name.log"; then
         echo "=== $name already done, skipping ==="; return 0
     fi
     echo "=== config-4-scale run $name ($*) ==="
     env save_name="$WORK/$name" net=bidi2 nhidden=200 \
-    ntrain=1000000 batch_size=8 gradient_clip=10 initial=0.1 \
+    ntrain=1000000 lrate=1e-3 batch_size=8 gradient_clip=10 initial=0.1 \
     target_height=48 report_every=100000 test_every=100000 \
-    save_every=200000 randseed=0 augment=0 log_jsonl="$OUT/$name.jsonl" \
+    save_every=100000 randseed=0 augment=0 log_jsonl="$OUT/$name.jsonl" \
     "$@" \
     python -m clstm_tpu.cli.clstmocrtrain \
-        "$trainfile" "$WORK/test.files" > "$OUT/$name.log" 2>&1
+        "$WORK/train$nlines.files" "$WORK/test.files" > "$OUT/$name.log" 2>&1
     grep TESTERR "$OUT/$name.log" | tail -2
 }
 
 fresh_eval () {  # name
     local name="$1"
+    grep -q "$name.clstm" "$OUT/eval.jsonl" 2>/dev/null && return 0
     python scripts/eval_cer.py "$WORK/$name.clstm" "$WORK/fresh.files" \
         2> "$OUT/eval-$name.err" | tee -a "$OUT/eval.jsonl"
 }
 
-for n in 2000 5000; do
-    run "c4x-${n}-s1" "$WORK/train$n.files" lrate=1e-3
-    run "c4x-${n}-s2" "$WORK/train$n.files" lrate=5e-5 \
-        load="$WORK/c4x-${n}-s1.clstm" randseed=1
-    fresh_eval "c4x-${n}-s1"
-    fresh_eval "c4x-${n}-s2"
+for N in 2000 5000; do
+    run c4x-$N-s1 $N
+    run c4x-$N-s2 $N load="$WORK/c4x-$N-s1.clstm" lrate=5e-5 randseed=1
+    fresh_eval c4x-$N-s1
+    fresh_eval c4x-$N-s2
 done
-echo "=== done; fresh-200 CERs in $OUT/eval.jsonl ==="
+echo "=== config-4 scaling campaign complete ==="
+grep -H "TESTERR 1000" "$OUT"/c4x-*.log
+cat "$OUT/eval.jsonl"

@@ -13,11 +13,14 @@
 #
 # Recorded result (runs/r4/c4x-*.log, runs/r4/eval.jsonl):
 #   lines  stage-1 test/fresh   stage-2 test/fresh
-#    500      2.9% / 2.1%          2.3% / 2.3%     (runs/r3, for scale)
-#   2000      0.29% / 0.32%        0.17% / 0.19%
-#   5000      0.06% / ...          ... / ...
+#    500     2.40% / 2.38%        2.09% / 2.32%    (runs/r3, for scale)
+#   2000     0.29% / 0.32%        0.17% / 0.19%
+#   5000     0.06% / 0.13%        0.12% / 0.11%
 # The plateau is corpus-size-limited, NOT an intrinsic ambiguity
-# floor: 4x the data cuts CER ~10x at identical capacity and recipe.
+# floor: 4x the data cuts stage-2 CER ~12x and 10x cuts it ~20x at
+# identical capacity and recipe; at 5,000 lines the cooled stage no
+# longer helps (test 0.06->0.12 within noise of ~1-2 chars on the
+# 50-line set; fresh 0.13->0.11) — one warm million suffices.
 set -e
 cd "$(dirname "$0")/.."
 

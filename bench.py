@@ -185,7 +185,7 @@ def bench_e2e() -> dict:
                 trials += len(batch["texts"])
                 if report and trials >= nxt:
                     while nxt <= trials:
-                        nxt += report_every
+                        nxt += max(report_every, 1)
                     L = int(np.asarray(batch["lengths"])[0])
                     _, ids, vals = unpack_report(m["report"], L)
                     codec.decode(decode_frames(ids, vals))
@@ -215,7 +215,7 @@ def bench_e2e() -> dict:
                 trials += n
                 if report and trials >= nxt:
                     while nxt <= trials:
-                        nxt += report_every
+                        nxt += max(report_every, 1)
                     crossings.append((trials, s))
             if crossings:
                 pending = (m, crossings, block["texts"],

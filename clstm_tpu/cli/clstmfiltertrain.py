@@ -154,16 +154,21 @@ def main(argv=None) -> int:
     # longer than the largest text T bucket lose frames; outputs whose
     # blank-interleaved targets overflow S_BUCKETS train toward a
     # TRUNCATED string.
-    from clstm_tpu.data.dataset import (S_BUCKETS, TEXT_T_BUCKETS,
-                                        truncation_report)
+    from clstm_tpu.data.dataset import (S_BUCKETS, T_BUCKETS,
+                                        TEXT_T_BUCKETS, truncation_report)
     k = model.input_repeat
-    t_over = sum(len(model.icodec.encode(a)) * k > TEXT_T_BUCKETS[-1]
+    # The batched path buckets inputs with TEXT_T_BUCKETS (max 512); the
+    # batch_size=1 path goes through CLSTMText._one_batch, which uses the
+    # image-width T_BUCKETS (max 4096) — warn against the bucket list the
+    # selected path actually truncates at.
+    tb = TEXT_T_BUCKETS if batch_size > 1 else T_BUCKETS
+    t_over = sum(len(model.icodec.encode(a)) * k > tb[-1]
                  for a, _ in train_pairs)
     s_over = sum(2 * len(model.codec.encode(b)) + 1 > S_BUCKETS[-1]
                  for _, b in train_pairs)
     if t_over or s_over:
         print("# WARNING: "
-              + truncation_report(t_over, s_over, TEXT_T_BUCKETS, S_BUCKETS),
+              + truncation_report(t_over, s_over, tb, S_BUCKETS),
               flush=True)
 
     # Multi-chip DP (mirrors clstmocrtrain's mesh= wiring): only on the

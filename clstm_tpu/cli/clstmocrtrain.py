@@ -239,6 +239,7 @@ def main(argv=None) -> int:
     next_report = 0
     next_save = save_every
     next_test = test_every
+    next_display = max(display_every, 1)
     t0 = time.time()
     # Multi-step fused dispatch (train_batch_block) on the single-device
     # cache path: lax.scan of the gather+train body over K consecutive
@@ -307,9 +308,24 @@ def main(argv=None) -> int:
                    else make_batches(samples, codec, batch_size, rng=rng))
         for batch in batches:
             if use_blocks:
-                m = ocr.train_batch_block(batch, k_max=block_k)
                 nreal_per = batch["nreal_per"]
                 btexts, bhls = batch["texts"], batch["host_lengths"]
+                if trials + batch["nreal"] > ntrain:
+                    # ntrain budget clamp: execute only enough batches of
+                    # the block to reach ntrain, so the fused path keeps
+                    # the single-step path's overshoot bound (<= one
+                    # batch) instead of up to block_k batches.
+                    nexec, acc = 0, 0
+                    while acc < ntrain - trials and nexec < len(nreal_per):
+                        acc += nreal_per[nexec]
+                        nexec += 1
+                    nexec = max(nexec, 1)
+                    nreal_per = nreal_per[:nexec]
+                    btexts, bhls = btexts[:nexec], bhls[:nexec]
+                    m = ocr.train_batch_block(batch, k_max=block_k,
+                                              nvalid=nexec)
+                else:
+                    m = ocr.train_batch_block(batch, k_max=block_k)
             else:
                 if use_cache:
                     m = ocr.train_batch({k: batch[k] for k in (
@@ -328,15 +344,18 @@ def main(argv=None) -> int:
             for s, n in enumerate(nreal_per):
                 trials += n
                 if trials >= next_report:
+                    # max(.,1): report_every=0 means "every batch" (the
+                    # reference's degenerate cadence) — a zero increment
+                    # here would spin forever.
                     while next_report <= trials:
-                        next_report += report_every
+                        next_report += max(report_every, 1)
                     crossings.append((trials, s))
             if crossings:
                 pending = (m, crossings, btexts, bhls)
             if (test_samples or test_cache) and trials >= next_test:
                 flush_pending()
                 while next_test <= trials:
-                    next_test += test_every
+                    next_test += max(test_every, 1)
                 err = evaluate(ocr, test_cache if test_cache is not None
                                else test_samples, codec, batch_size)
                 print(f"TESTERR {trials} {err:.4f}", flush=True)
@@ -351,9 +370,14 @@ def main(argv=None) -> int:
                     print(f"# saved best ({err:.4f}) to {save_name}.clstm")
             if trials >= next_save:
                 while next_save <= trials:
-                    next_save += save_every
+                    next_save += max(save_every, 1)
                 ocr.save(save_name + "-last.clstm")
-            if display is not None and trials % max(display_every, 1) < batch_size:
+            if display is not None and trials >= next_display:
+                # Boundary-crossing gate: the old `trials % display_every
+                # < batch_size` window misses most crossings on the blocks
+                # path, where trials advances by up to block_k*batch_size.
+                while next_display <= trials:
+                    next_display += max(display_every, 1)
                 display.render()
             if trials >= ntrain:
                 break

@@ -146,7 +146,8 @@ class _TrainableBase:
         ref["set_j"](new_j)
         return metrics
 
-    def train_batch_block(self, block: dict, k_max: int = 0) -> dict:
+    def train_batch_block(self, block: dict, k_max: int = 0,
+                          nvalid: Optional[int] = None) -> dict:
         """K batches in ONE dispatch on a DeviceDataset.epoch_blocks block:
         lax.scan of the fused gather+train body over ``block['k']``
         consecutive batches of the resident epoch plan
@@ -159,6 +160,12 @@ class _TrainableBase:
         length; shorter (remainder) blocks reuse the same executable via
         the traced ``nvalid`` skip — ONE compilation per (group shape,
         k_max). With k_max=0 the scan compiles at the block's own k.
+        ``nvalid`` (optional) executes only the first min(nvalid, k)
+        batches of the block — the CLI's ntrain budget clamp, so a fused
+        block overshoots the trial budget by at most one batch like the
+        single-step path (steps beyond nvalid never touch state or the
+        plan counter; the caller must not consume later blocks of the
+        same epoch plan after a clamped call).
         Returns metrics {loss, report, report_all [k_max, 1+2T]} — see
         make_multi_train_step. Single-device path only."""
         if self.mesh is not None:
@@ -175,9 +182,10 @@ class _TrainableBase:
                 gradient_clip=self.gradient_clip, augment=self.augment,
                 donate=False)
             self._multi_steps[k] = step
+        nv = block["k"] if nvalid is None else max(1, min(nvalid, block["k"]))
         self.state, metrics, new_j = step(
             self.state, block["group"], block["idx_all"], block["j"],
-            nvalid=block["k"], lr_arg=self.lr, momentum_arg=self.momentum)
+            nvalid=nv, lr_arg=self.lr, momentum_arg=self.momentum)
         block["set_j"](new_j)
         return metrics
 
@@ -279,6 +287,9 @@ class CLSTMOCR(_TrainableBase):
 
     def _one_line_batch(self, x: np.ndarray, classes: Sequence[int]) -> dict:
         tb = bucket_for(x.shape[0], T_BUCKETS)
+        x = x[:tb]  # over-bucket lines clamp at the largest bucket, like
+        #             the batched paths (counted/warned by the CLIs); the
+        #             raw assignment below would raise on a >4096-frame line
         ids = mktargets_ids(classes)
         sb = bucket_for(len(ids), S_BUCKETS)
         xb = np.zeros((1, tb, x.shape[1]), np.float32)
@@ -325,6 +336,7 @@ class CLSTMOCR(_TrainableBase):
 
     def _predict_one(self, x: np.ndarray):
         tb = bucket_for(x.shape[0], T_BUCKETS)
+        x = x[:tb]  # clamp over-bucket lines (see _one_line_batch)
         xb = np.zeros((1, tb, x.shape[1]), np.float32)
         xb[0, : x.shape[0]] = x
         ids, vals = self.predict_batch(xb, np.array([x.shape[0]], np.int32))
@@ -405,6 +417,7 @@ class CLSTMText(_TrainableBase):
 
     def _one_batch(self, x: np.ndarray, classes: Sequence[int]) -> dict:
         tb = bucket_for(x.shape[0], T_BUCKETS)
+        x = x[:tb]  # clamp over-bucket inputs (see CLSTMOCR._one_line_batch)
         ids = mktargets_ids(classes)
         sb = bucket_for(len(ids), S_BUCKETS)
         xb = np.zeros((1, tb, x.shape[1]), np.float32)
@@ -425,6 +438,7 @@ class CLSTMText(_TrainableBase):
     def predict(self, inp: str) -> str:
         x = self.encode_input(inp)
         tb = bucket_for(x.shape[0], T_BUCKETS)
+        x = x[:tb]  # clamp over-bucket inputs (see CLSTMOCR._one_line_batch)
         xb = np.zeros((1, tb, x.shape[1]), np.float32)
         xb[0, : x.shape[0]] = x
         ids, vals = self.predict_batch(xb, np.array([x.shape[0]], np.int32))

@@ -381,3 +381,65 @@ def test_clstmfiltertrain_mesh_matches_single_device(tmp_path, monkeypatch):
     for a, b in zip(jax.tree.leaves(outs["1"]), jax.tree.leaves(outs["8"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=3e-4, atol=2e-5)
+
+
+def test_clstmocrtrain_zero_cadences_and_ntrain_clamp(
+        ocr_data, tmp_path, monkeypatch, capsys):
+    """Round-4 review fixes: (a) report/save/test_every=0 means "every
+    batch" (the zero-increment catch-up loops used to spin forever on the
+    blocks path); (b) the fused K-batch dispatch clamps at the ntrain
+    budget (overshoot <= one batch, like the single-step path — it used
+    to train up to block_k*batch_size extra trials)."""
+    manifest, test_manifest = ocr_data
+    save = str(tmp_path / "zc")
+    env = {
+        "save_name": save, "ntrain": "20", "lrate": "1e-3",
+        "nhidden": "8", "report_every": "0", "save_every": "0",
+        "test_every": "0", "target_height": "24", "dewarp": "none",
+        "batch_size": "8", "randseed": "0", "steps_per_dispatch": "4",
+        "mesh": "1",
+    }
+    for k, v in env.items():
+        monkeypatch.setenv(k, v)
+    from clstm_tpu.cli import clstmocrtrain
+    assert clstmocrtrain.main([manifest, test_manifest]) == 0
+    out = capsys.readouterr().out
+    done = [l for l in out.splitlines() if l.startswith("# done:")]
+    assert len(done) == 1
+    trials = int(done[0].split()[2])
+    # ntrain=20, batch_size=8: the 4-batch block must stop after 3
+    # batches (24 trials), not run all 4*8=32.
+    assert 20 <= trials <= 20 + 8
+    # Zero cadences mean "every batch/block", not never (and not an
+    # infinite catch-up spin). The whole run is one fused block here, so
+    # block-granular cadences (test/save) fire once.
+    assert out.count("TESTERR") >= 1
+    assert out.count("TRU:") >= 2  # report cadence is per-batch crossings
+
+
+def test_filtertrain_truncation_warning_matches_path(tmp_path, monkeypatch,
+                                                     capsys):
+    """Round-4 review fix: the input-truncation warning must use the
+    bucket list of the path actually taken — batch_size=1 buckets inputs
+    with T_BUCKETS (max 4096), so a 600-frame input is NOT truncated
+    there and must not warn; batch_size>1 buckets with TEXT_T_BUCKETS
+    (max 512) and must warn."""
+    long_in = "ab" * 300  # 600 frames at input_repeat=1
+    pairs = [(long_in, "abc")] + [("abcabc", "abc")] * 7
+    tsv = tmp_path / "train.tsv"
+    tsv.write_text("\n".join(f"{a}\t{b}" for a, b in pairs) + "\n")
+    from clstm_tpu.cli import clstmfiltertrain
+    base = {"save_name": str(tmp_path / "f"), "ntrain": "8",
+            "lrate": "0.01", "nhidden": "6", "report_every": "1000",
+            "save_every": "1000", "test_every": "1000", "randseed": "0"}
+    for k, v in base.items():
+        monkeypatch.setenv(k, v)
+
+    monkeypatch.setenv("batch_size", "8")
+    assert clstmfiltertrain.main([str(tsv)]) == 0
+    assert "input truncated" in capsys.readouterr().out
+
+    monkeypatch.setenv("batch_size", "1")
+    monkeypatch.setenv("ntrain", "1")
+    assert clstmfiltertrain.main([str(tsv)]) == 0
+    assert "input truncated" not in capsys.readouterr().out

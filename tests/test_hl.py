@@ -206,3 +206,28 @@ def test_charpred_x_in_source_image_columns():
     for p, c in zip(preds, cols):
         assert abs(p.x - c) <= 2, (p.x, c)
         assert p.c == "a"
+
+
+def test_one_line_batch_clamps_over_bucket_lines():
+    """A line longer than T_BUCKETS[-1] clamps to the largest bucket in
+    the single-line batch builders (round-4 review: the raw assignment
+    used to raise ValueError on a >4096-frame line)."""
+    import numpy as np
+    from clstm_tpu.data.dataset import T_BUCKETS
+    from clstm_tpu.models.codec import Codec
+    from clstm_tpu.models.hl import CLSTMOCR, CLSTMText
+
+    ocr = CLSTMOCR(target_height=8, dewarp="none")
+    ocr.createBidi(Codec.build(["ab"]), 4)
+    x = np.random.RandomState(0).rand(T_BUCKETS[-1] + 500, 8)
+    x = x.astype(np.float32)
+    b = ocr._one_line_batch(x, [1, 2])
+    assert b["x"].shape[1] == T_BUCKETS[-1]
+    assert int(b["lengths"][0]) == T_BUCKETS[-1]
+
+    txt = CLSTMText()
+    txt.createBidi(Codec.build(["ab"]), Codec.build(["ab"]), 4)
+    xt = txt.encode_input("ab" * (T_BUCKETS[-1] // 2 + 300))
+    bt = txt._one_batch(xt, [1])
+    assert bt["x"].shape[1] == T_BUCKETS[-1]
+    assert int(bt["lengths"][0]) == T_BUCKETS[-1]

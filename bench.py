@@ -119,10 +119,13 @@ def bench_e2e() -> dict:
 
     B = int(os.environ.get("bench_batch", 256))
     nlines = int(os.environ.get("bench_e2e_lines", 1024))
-    # 3 timed epochs by default: one epoch is a ~250ms window on the
-    # tunneled chip, where a single ~50ms RTT hiccup swings the rate by
-    # 20% (measured spread 2.9-5.0k l/s with epochs=1).
-    epochs = int(os.environ.get("bench_e2e_epochs", 3))
+    # 5 timed reps by default (each rep is a steps_per_dispatch-epoch run,
+    # ~0.7s): one epoch is a ~250ms window on the tunneled chip, where a
+    # single ~50ms RTT hiccup swings the rate by 20% (measured spread
+    # 2.9-5.0k l/s with epochs=1), and whole-rep tunnel stalls happen
+    # (BENCH_r04's 855 l/s rep) — a median of 5 tolerates two bad reps
+    # where the round-4 median of 3 tolerated one.
+    epochs = int(os.environ.get("bench_e2e_epochs", 5))
     report_every = int(os.environ.get("report_every", 500))
     work = os.environ.get("bench_e2e_dir", "/tmp/clstm_bench_e2e")
 

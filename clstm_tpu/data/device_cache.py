@@ -410,6 +410,14 @@ class DeviceDataset:
         if rng is not None:
             rng.shuffle(seq)
         for p, kk in seq:
+            if p[4] >= len(p[1]):
+                # Plan exhausted by a clamped (nvalid < k) block: the
+                # device counter stopped mid-block, so the host plan
+                # position no longer matches it — later blocks of this
+                # plan would silently retrain/skip plan regions (round-4
+                # advisor finding). train_batch_block calls ``exhaust``
+                # on every clamped call; skip the plan's remaining blocks.
+                continue
             g = p[0]
             chunks = p[1][p[4]:p[4] + kk]
             p[4] += kk
@@ -418,8 +426,12 @@ class DeviceDataset:
             def set_j(new_j, p=p):
                 p[3] = new_j
 
+            def exhaust(p=p):
+                p[4] = len(p[1])
+
             yield {
                 "group": g, "idx_all": p[2], "j": p[3], "set_j": set_j,
+                "exhaust": exhaust,
                 "k": kk, "nreal": sum(nreal_per), "nreal_per": nreal_per,
                 "texts": [[g["texts"][i] for i in c[:n]]
                           for c, n in zip(chunks, nreal_per)],

@@ -127,19 +127,22 @@ class _TrainableBase:
         batch rows are gathered from the resident cache INSIDE the jitted
         step, so each batch costs ONE executable dispatch (the separate
         gather dispatch is ~20ms of RPC enqueue on a tunneled chip).
-        Single-device path only — with a mesh set, the sharded cache uses
-        epoch() + train_batch. Same metrics dict as train_batch."""
+        With a mesh set, routes through the k=1 parallel fused block step
+        (parallel.dp.make_parallel_multi_train_step) — metrics then carry
+        {loss, report, report_all} rather than the full per-frame arrays.
+        Single-device metrics match train_batch."""
         if self.mesh is not None:
-            raise ValueError("train_batch_refs is a single-device fast "
-                             "path; use epoch() + train_batch with a mesh")
+            ref = dict(ref, k=1)
+            return self.train_batch_block(ref)
         self._ensure_compiled()
+        onehot = ref["group"].get("onehot", 0)
         if self._cached_step is None:
             from clstm_tpu.train import make_cached_train_step
             self._cached_step = make_cached_train_step(
                 self.spec, self.lr, self.momentum, loss_kind="ctc",
                 normalization=self.normalization,
                 gradient_clip=self.gradient_clip, augment=self.augment,
-                donate=False)
+                input_onehot=onehot, donate=False)
         self.state, metrics, new_j = self._cached_step(
             self.state, ref["group"], ref["idx_all"], ref["j"],
             self.lr, self.momentum)
@@ -164,29 +167,46 @@ class _TrainableBase:
         batches of the block — the CLI's ntrain budget clamp, so a fused
         block overshoots the trial budget by at most one batch like the
         single-step path (steps beyond nvalid never touch state or the
-        plan counter; the caller must not consume later blocks of the
-        same epoch plan after a clamped call).
+        plan counter). A clamped call marks the block's epoch plan
+        EXHAUSTED (the device counter no longer matches the host plan
+        position), so later blocks from the same plan are skipped by
+        epoch_blocks rather than silently retraining plan regions.
+
+        With a mesh set, the same block runs through the shard_map K-scan
+        (parallel.dp.make_parallel_multi_train_step): one dispatch, each
+        device gathers its own rows of every batch, grads psum — the
+        full-batch update, so the trajectory matches single-device within
+        f32 reduction order.
         Returns metrics {loss, report, report_all [k_max, 1+2T]} — see
-        make_multi_train_step. Single-device path only."""
-        if self.mesh is not None:
-            raise ValueError("train_batch_block is a single-device fast "
-                             "path; use epoch() + train_batch with a mesh")
+        make_multi_train_step."""
         self._ensure_compiled()
         k = max(k_max, block["k"])
-        step = self._multi_steps.get(k)
+        onehot = block["group"].get("onehot", 0)
+        step = self._multi_steps.get((k, onehot))
         if step is None:
-            from clstm_tpu.train import make_multi_train_step
-            step = make_multi_train_step(
-                self.spec, k, self.lr, self.momentum, loss_kind="ctc",
-                normalization=self.normalization,
-                gradient_clip=self.gradient_clip, augment=self.augment,
-                donate=False)
-            self._multi_steps[k] = step
+            if self.mesh is not None:
+                from clstm_tpu.parallel.dp import (
+                    make_parallel_multi_train_step)
+                step = make_parallel_multi_train_step(
+                    self.spec, self.mesh, k, self.lr, self.momentum,
+                    loss_kind="ctc", normalization=self.normalization,
+                    gradient_clip=self.gradient_clip, augment=self.augment,
+                    input_onehot=onehot, donate=False)
+            else:
+                from clstm_tpu.train import make_multi_train_step
+                step = make_multi_train_step(
+                    self.spec, k, self.lr, self.momentum, loss_kind="ctc",
+                    normalization=self.normalization,
+                    gradient_clip=self.gradient_clip, augment=self.augment,
+                    input_onehot=onehot, donate=False)
+            self._multi_steps[(k, onehot)] = step
         nv = block["k"] if nvalid is None else max(1, min(nvalid, block["k"]))
         self.state, metrics, new_j = step(
             self.state, block["group"], block["idx_all"], block["j"],
             nvalid=nv, lr_arg=self.lr, momentum_arg=self.momentum)
         block["set_j"](new_j)
+        if nv < block["k"] and "exhaust" in block:
+            block["exhaust"]()
         return metrics
 
     def predict_batch(self, x: np.ndarray, lengths: np.ndarray):

@@ -250,6 +250,7 @@ def make_cached_train_step(spec: NetSpec, lr: float = 1e-4,
                            normalization: str = "none", compute_dtype=None,
                            gradient_clip: float = 0.0,
                            augment: float = 0.0, augment_seed: int = 0,
+                           input_onehot: int = 0,
                            donate: bool = True):
     """Fused gather+train step over a device-resident cache group.
 
@@ -262,13 +263,21 @@ def make_cached_train_step(spec: NetSpec, lr: float = 1e-4,
     tunneled chip every dispatch enqueue pays a ~20ms RPC, which at the
     bench shape was ~40% of the steady-state e2e epoch time. nb is stable
     across epochs for a fixed (group, batch_size), so compilations stay
-    one per bucket group, as before."""
+    one per bucket group, as before.
+
+    ``input_onehot`` > 0: the resident ``xs`` carry int32 input ids (text
+    corpora — data.device_cache.TextDeviceDataset) and the gathered batch
+    is one-hot expanded to [B, T, input_onehot] inside the jit, so HBM
+    holds 4 bytes/frame instead of 4*ni."""
     step = _make_step_fn(spec, loss_kind, normalization, compute_dtype,
                          gradient_clip, augment, augment_seed)
 
     def gstep(state, xs, targets, lengths, tlens, idx_all, j, lr_t, mom_t):
         idx = jax.lax.dynamic_index_in_dim(idx_all, j, 0, keepdims=False)
-        batch = {"x": xs[idx], "lengths": lengths[idx],
+        x = xs[idx]
+        if input_onehot:
+            x = jax.nn.one_hot(x, input_onehot, dtype=jnp.float32)
+        batch = {"x": x, "lengths": lengths[idx],
                  "targets": targets[idx], "target_lengths": tlens[idx]}
         new_state, metrics = step(state, batch, lr_t, mom_t)
         return new_state, metrics, j + 1
@@ -293,6 +302,7 @@ def make_multi_train_step(spec: NetSpec, k: int, lr: float = 1e-4,
                           normalization: str = "none", compute_dtype=None,
                           gradient_clip: float = 0.0,
                           augment: float = 0.0, augment_seed: int = 0,
+                          input_onehot: int = 0,
                           donate: bool = True):
     """K fused gather+train steps per executable dispatch.
 
@@ -338,7 +348,10 @@ def make_multi_train_step(spec: NetSpec, k: int, lr: float = 1e-4,
                 st, jj = args
                 idx = jax.lax.dynamic_index_in_dim(idx_all, jj, 0,
                                                    keepdims=False)
-                batch = {"x": xs[idx], "lengths": lengths[idx],
+                x = xs[idx]
+                if input_onehot:
+                    x = jax.nn.one_hot(x, input_onehot, dtype=jnp.float32)
+                batch = {"x": x, "lengths": lengths[idx],
                          "targets": targets[idx],
                          "target_lengths": tlens[idx]}
                 new_st, metrics = step(st, batch, lr_t, mom_t)

@@ -290,3 +290,29 @@ def test_train_batch_block_exact_vs_refs_single_group():
                     jax.tree.leaves(ocr_r.state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-8)
+
+
+def test_clamped_block_exhausts_plan():
+    """A clamped (nvalid < k) train_batch_block call leaves the device
+    counter mid-block, out of sync with the host plan position; the block
+    must mark its plan exhausted so epoch_blocks yields no further blocks
+    from it (round-4 advisor finding — a future call-site could silently
+    retrain/skip plan regions)."""
+    from clstm_tpu.models.hl import CLSTMOCR
+
+    rng = np.random.RandomState(0)
+    samples = [(rng.rand(50, 16).astype(np.float32),
+                "".join(rng.choice(list("abc "), size=6)))
+               for _ in range(32)]
+    codec = Codec.build([t for _, t in samples])
+    ocr = CLSTMOCR(target_height=16, dewarp="none")
+    ocr.createBidi(codec, 8, seed=1)
+    ocr.setLearningRate(1e-3, 0.9)
+    dds = DeviceDataset(samples, codec)
+    # One group, 8 batches of 4 -> blocks of k=3,3,2.
+    gen = dds.epoch_blocks(4, 3, rng=np.random.RandomState(0))
+    first = next(gen)
+    assert first["k"] == 3
+    ocr.train_batch_block(first, k_max=3, nvalid=2)   # clamped
+    rest = list(gen)
+    assert rest == []                                  # plan exhausted

@@ -122,3 +122,111 @@ def test_parallel_gradient_clip_matches_single_device():
                      jax.tree.leaves(stateN.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=2e-4, atol=1e-6)
+
+
+def _block_samples(rng, n=20, h=24):
+    return [(rng.rand(60 + 5 * i, h).astype(np.float32),
+             "abcd"[: 1 + (i % 4)]) for i in range(n)]
+
+
+def test_parallel_multi_step_matches_single_device_blocks():
+    """The shard_map K-scan (parallel.dp.make_parallel_multi_train_step)
+    must reproduce the single-device fused-block trajectory on the same
+    epoch plan — per-step reports AND final params (round-4 verdict
+    weak #1: the fused dispatch path must not lose DP)."""
+    from clstm_tpu.data.device_cache import DeviceDataset
+    from clstm_tpu.models.codec import Codec
+    from clstm_tpu.models.hl import CLSTMOCR
+
+    rng = np.random.RandomState(0)
+    samples = _block_samples(rng)
+    codec = Codec.build([t for _, t in samples])
+
+    def run(mesh_n, k=3, epochs=2):
+        ocr = CLSTMOCR(target_height=24, dewarp="none")
+        ocr.createBidi(codec, 10, seed=0)
+        ocr.setLearningRate(3e-3, 0.9)
+        mesh = make_mesh(mesh_n) if mesh_n > 1 else None
+        if mesh is not None:
+            ocr.set_mesh(mesh)
+        dc = DeviceDataset(samples, codec, mesh=mesh)
+        r = np.random.RandomState(0)
+        reports = []
+        for _ in range(epochs):
+            for block in dc.epoch_blocks(8, k, rng=r, epochs=1):
+                m = ocr.train_batch_block(block, k_max=k)
+                reports.append(np.asarray(m["report_all"]))
+        return reports, jax.tree.leaves(ocr.state.params)
+
+    rep1, p1 = run(1)
+    rep8, p8 = run(8)
+    assert len(rep1) == len(rep8)
+    for a, b in zip(rep1, rep8):
+        np.testing.assert_allclose(a, b, rtol=3e-4, atol=2e-4)
+    for a, b in zip(p1, p8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=2e-5)
+
+
+def test_parallel_multi_step_nvalid_clamps_and_skips():
+    """Traced-nvalid on the mesh K-scan: only the first nvalid batches
+    touch state; the returned counter advances by nvalid; rows >= nvalid
+    of report_all are zeros (same contract as the single-device
+    make_multi_train_step)."""
+    from clstm_tpu.data.device_cache import DeviceDataset
+    from clstm_tpu.models.codec import Codec
+    from clstm_tpu.models.hl import CLSTMOCR
+
+    rng = np.random.RandomState(1)
+    # One bucket group (fixed width) so the first block is a full k=3.
+    samples = [(rng.rand(60, 24).astype(np.float32), "abcd"[: 1 + (i % 4)])
+               for i in range(24)]
+    codec = Codec.build([t for _, t in samples])
+
+    def run(nvalid):
+        ocr = CLSTMOCR(target_height=24, dewarp="none")
+        ocr.createBidi(codec, 10, seed=0)
+        ocr.setLearningRate(3e-3, 0.9)
+        mesh = make_mesh(8)
+        ocr.set_mesh(mesh)
+        dc = DeviceDataset(samples, codec, mesh=mesh)
+        block = next(dc.epoch_blocks(8, 3, rng=np.random.RandomState(0)))
+        got = {}
+        orig_set_j = block["set_j"]
+        block["set_j"] = lambda nj: (got.update(j=nj), orig_set_j(nj))[1]
+        m = ocr.train_batch_block(block, k_max=3, nvalid=nvalid)
+        return (np.asarray(m["report_all"]), int(np.asarray(got["j"])),
+                jax.tree.leaves(ocr.state.params))
+
+    rep3, j3, p3 = run(3)
+    rep2, j2, p2 = run(2)
+    assert j3 == 3 and j2 == 2
+    # First two executed steps identical; the clamped run's row 2 is zeros.
+    np.testing.assert_allclose(rep2[:2], rep3[:2], rtol=1e-5)
+    assert np.all(rep2[2] == 0) and not np.all(rep3[2] == 0)
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(p2, p3))
+
+
+def test_train_batch_refs_routes_through_mesh():
+    """train_batch_refs with a mesh set (round-4 verdict: delete the
+    single-device-only guards) must train via the k=1 parallel block step
+    and keep the plan counter in sync."""
+    from clstm_tpu.data.device_cache import DeviceDataset
+    from clstm_tpu.models.codec import Codec
+    from clstm_tpu.models.hl import CLSTMOCR
+
+    rng = np.random.RandomState(2)
+    samples = _block_samples(rng, n=16)
+    codec = Codec.build([t for _, t in samples])
+    mesh = make_mesh(8)
+    ocr = CLSTMOCR(target_height=24, dewarp="none")
+    ocr.createBidi(codec, 10, seed=0)
+    ocr.setLearningRate(3e-3, 0.9)
+    ocr.set_mesh(mesh)
+    dc = DeviceDataset(samples, codec, mesh=mesh)
+    losses = []
+    for ref in dc.epoch_refs(8, rng=np.random.RandomState(0)):
+        m = ocr.train_batch_refs(ref)
+        losses.append(float(m["loss"]))
+    assert losses and all(np.isfinite(losses))

@@ -29,23 +29,11 @@ from clstm_tpu.ops.ctc import decode_frames
 from clstm_tpu.utils.config import getienv, getsenv
 
 
-def main(argv=None) -> int:
-    argv = list(sys.argv[1:] if argv is None else argv)
-    load = getsenv("load", "")
-    if not load or not argv:
-        print(__doc__)
-        return 1
-    output = getsenv("output", "text")
-    charseg = getienv("charseg", 0)
-    dewarp = getsenv("dewarp", "center")
-    device_preprocess = getienv("device_preprocess", 1)
-
-    ocr = CLSTMOCR(dewarp=dewarp)
-    ocr.load(load)
-    # target_height is the net's input dim (persisted in proto attrs).
-    ocr.target_height = ocr.spec.iget("ninput", ocr.target_height)
-
-    images = [read_png(f) for f in argv]
+def predict_pages(ocr: CLSTMOCR, images, device_preprocess: int = 1) -> dict:
+    """The CLI's bucketed batched page-inference core: -> {image index:
+    (frame classes, peak positions, frame vals, width scale)}. Shared with
+    bench.py's infer_e2e mode so the benchmark measures the REAL clstmocr
+    path (reference clstmocr.cc ≈L1-150 per-PNG loop, batched)."""
     results: dict = {}
     if device_preprocess:
         # On-device normalize+prepare: bucket raw lines by ESTIMATED
@@ -93,7 +81,13 @@ def main(argv=None) -> int:
                 cls, pos = decode_frames(ids[r][:L], vals[r][:L],
                                          return_positions=True)
                 results[i] = (cls, pos, vals[r], scales[i])
+    return results
 
+
+def write_outputs(ocr: CLSTMOCR, argv, images, results: dict,
+                  output: str = "text", charseg: int = 0) -> None:
+    """Decode + emit results (stdout or .txt sidecars; reference output
+    stage of clstmocr.cc)."""
     for i, f in enumerate(argv):
         cls, pos, vals, scale = results[i]
         text = ocr.codec.decode(cls)
@@ -113,6 +107,27 @@ def main(argv=None) -> int:
                 ch = chr(ocr.codec.codec[c])
                 col = int(np.clip(round((t - ocr.pad) / scale), 0, w - 1))
                 print(f"# {j} {col} {ch!r} {vals[t]:.3f}")
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    load = getsenv("load", "")
+    if not load or not argv:
+        print(__doc__)
+        return 1
+    output = getsenv("output", "text")
+    charseg = getienv("charseg", 0)
+    dewarp = getsenv("dewarp", "center")
+    device_preprocess = getienv("device_preprocess", 1)
+
+    ocr = CLSTMOCR(dewarp=dewarp)
+    ocr.load(load)
+    # target_height is the net's input dim (persisted in proto attrs).
+    ocr.target_height = ocr.spec.iget("ninput", ocr.target_height)
+
+    images = [read_png(f) for f in argv]
+    results = predict_pages(ocr, images, device_preprocess)
+    write_outputs(ocr, argv, images, results, output, charseg)
     return 0
 
 

@@ -32,7 +32,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from clstm_tpu.data.dataset import S_BUCKETS, T_BUCKETS, bucket_for
+from clstm_tpu.data.dataset import (S_BUCKETS, T_BUCKETS, TEXT_T_BUCKETS,
+                                    bucket_for)
 from clstm_tpu.models.codec import Codec
 from clstm_tpu.ops.ctc import mktargets_ids
 
@@ -437,3 +438,87 @@ class DeviceDataset:
                           for c, n in zip(chunks, nreal_per)],
                 "host_lengths": [g["host_lengths"][c] for c in chunks],
             }
+
+
+class TextDeviceDataset(DeviceDataset):
+    """Device-resident string-transduction corpus (clstmfiltertrain).
+
+    The reference trains string->string one pair at a time from host
+    memory (clstmfiltertrain.cc ≈L1-200, SURVEY.md §3.4); the round-3 CLI
+    streamed host-built one-hot batches one dispatch each and REBUILT the
+    one-hot corpus on host every epoch — measured flat at ~330 pairs/s on
+    the tunneled chip (purely dispatch-bound; runs/r3/cmu-b16.jsonl).
+
+    TPU-native answer: store each group's inputs as int32 CHARACTER IDS
+    [N+1, Tb] (4 bytes/frame instead of 4*ni for the one-hot frame — the
+    CMU-size corpus drops from ~1.5GB to ~12MB resident) and let the fused
+    gather+train steps expand ids -> one-hot [B, T, ni] ON DEVICE inside
+    the jit (``input_onehot`` in train.make_cached_train_step /
+    make_multi_train_step / parallel.dp.make_parallel_multi_train_step —
+    the group dict's ``onehot`` key routes models.hl.train_batch_refs /
+    train_batch_block automatically). All epoch-plan machinery
+    (multi-epoch plans, K-batch blocks, on-device batch counters) is
+    inherited from DeviceDataset unchanged.
+
+    Padding positions hold id -1: ``jax.nn.one_hot(-1) == 0``, which
+    reproduces the host path's zero padding frames (make_text_batches)
+    exactly; the sentinel row is all -1 with length 0.
+
+    ``input_repeat`` replicates each input id k times along T (see
+    CLSTMText: CTC needs alignment slack when outputs are nearly as long
+    as inputs). Bucketing/truncation semantics match make_text_batches:
+    inputs clamp at t_buckets[-1], blank-interleaved targets at
+    s_buckets[-1] (both counted for the CLI truncation warning).
+
+    NOTE: epoch()/epoch_refs()/epoch_blocks() batches carry int-id ``x``;
+    they feed the onehot-aware fused train steps, not predict_batch.
+    """
+
+    def __init__(self, pairs: Sequence[Tuple[str, str]],
+                 icodec: Codec, codec: Codec, *, input_repeat: int = 1,
+                 t_buckets: Sequence[int] = TEXT_T_BUCKETS,
+                 s_buckets: Sequence[int] = S_BUCKETS,
+                 device=None, mesh=None, axis: str = "data"):
+        self._init_placement(device, mesh, axis)
+        k = max(1, int(input_repeat))
+        ni = icodec.size()
+        groups: dict = {}
+        self.t_truncated = self.s_truncated = 0
+        for a, b in pairs:
+            ids = icodec.encode(a)
+            classes = codec.encode(b)
+            T = max(len(ids) * k, 1)        # empty input -> one zero frame
+            tb = bucket_for(T, t_buckets)
+            sb = bucket_for(2 * len(classes) + 1, s_buckets)
+            self.t_truncated += T > t_buckets[-1]
+            self.s_truncated += 2 * len(classes) + 1 > s_buckets[-1]
+            groups.setdefault((tb, sb), []).append((ids, b, classes))
+
+        self.groups = []
+        self.nbytes = 0
+        for (tb, sb), items in sorted(groups.items()):
+            N = len(items)
+            x = np.full((N + 1, tb), -1, np.int32)       # -1 = zero frame
+            lengths = np.zeros(N + 1, np.int32)
+            targets = np.zeros((N + 1, sb), np.int32)
+            tlens = np.zeros(N + 1, np.int32)
+            texts: List[str] = []
+            for i, (ids, b, classes) in enumerate(items):
+                T = min(max(len(ids) * k, 1), tb)
+                for t, c in enumerate(ids):
+                    x[i, t * k:min((t + 1) * k, tb)] = c
+                lengths[i] = T
+                tg = mktargets_ids(classes)
+                S = min(len(tg), sb)
+                targets[i, :S] = tg[:S]
+                tlens[i] = S
+                texts.append(b)
+            self.nbytes += x.nbytes + targets.nbytes
+            put = self._put
+            self.groups.append({
+                "tb": tb, "sb": sb, "n": N, "texts": texts,
+                "onehot": ni,
+                "x": put(x), "targets": put(targets),
+                "lengths": put(lengths), "tlens": put(tlens),
+                "host_lengths": lengths,
+            })

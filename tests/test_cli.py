@@ -477,3 +477,33 @@ def test_clstmocrtrain_mesh_blocks_trajectory_matches_single_device(
     for a, b in zip(jax.tree.leaves(outs["1"]), jax.tree.leaves(outs["8"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=3e-4, atol=2e-5)
+
+
+def test_clstmfiltertrain_cache_host_fallback(tmp_path, monkeypatch, capsys):
+    """cache=host keeps the pre-round-5 host-streaming batched loop
+    working (the device-resident blocks path is the default)."""
+    rng = np.random.RandomState(4)
+
+    def norep(n):
+        s = [rng.choice(list("abc"))]
+        while len(s) < n:
+            c = rng.choice(list("abc"))
+            if c != s[-1]:
+                s.append(c)
+        return "".join(s)
+
+    pairs = [(s, s[:3].upper()) for s in (norep(6) for _ in range(24))]
+    tsv = tmp_path / "train.tsv"
+    tsv.write_text("\n".join(f"{a}\t{b}" for a, b in pairs) + "\n")
+    save = str(tmp_path / "fh")
+    env = {"save_name": save, "ntrain": "240", "lrate": "0.02",
+           "nhidden": "12", "report_every": "80", "save_every": "240",
+           "test_every": "240", "randseed": "0", "batch_size": "8",
+           "cache": "host", "mesh": "1"}
+    for k, v in env.items():
+        monkeypatch.setenv(k, v)
+    from clstm_tpu.cli import clstmfiltertrain
+    assert clstmfiltertrain.main([str(tsv), str(tsv)]) == 0
+    out = capsys.readouterr().out
+    assert "TESTERR" in out and "device cache" not in out
+    assert os.path.exists(save + "-last.clstm")

@@ -316,3 +316,92 @@ def test_clamped_block_exhausts_plan():
     ocr.train_batch_block(first, k_max=3, nvalid=2)   # clamped
     rest = list(gen)
     assert rest == []                                  # plan exhausted
+
+
+def _pairs(n=24, seed=0):
+    rng = np.random.RandomState(seed)
+    out = []
+    for _ in range(n):
+        a = "".join(rng.choice(list("abcdef"), size=rng.randint(2, 12)))
+        out.append((a, a[:4].upper()))
+    return out
+
+
+def test_text_cache_rows_match_encode_input():
+    """TextDeviceDataset stores int32 ids whose on-device one-hot
+    expansion (jax.nn.one_hot; padding id -1 -> zero frame) reproduces
+    CLSTMText.encode_input's host one-hot frames exactly, for
+    input_repeat in {1, 2}."""
+    import jax.nn
+    from clstm_tpu.data.device_cache import TextDeviceDataset
+    from clstm_tpu.models.hl import CLSTMText
+
+    pairs = _pairs(n=13, seed=1)
+    icodec = Codec.build(a for a, _ in pairs)
+    codec = Codec.build(b for _, b in pairs)
+    for k in (1, 2):
+        model = CLSTMText(input_repeat=k)
+        model.icodec, model.codec = icodec, codec
+        tds = TextDeviceDataset(pairs, icodec, codec, input_repeat=k)
+        by_out = {}
+        for a, b in pairs:
+            by_out.setdefault(b, []).append(a)
+        for g in tds.groups:
+            assert g["onehot"] == icodec.size()
+            x = np.asarray(g["x"])
+            hl = g["host_lengths"]
+            oh = np.asarray(jax.nn.one_hot(x, icodec.size(),
+                                           dtype=np.float32))
+            for i, btxt in enumerate(g["texts"]):
+                a = by_out[btxt].pop(0)
+                ref = model.encode_input(a)
+                L = min(ref.shape[0], g["tb"])
+                assert hl[i] == L
+                np.testing.assert_array_equal(oh[i, :L], ref[:L])
+                # padding frames are all-zero one-hots
+                assert np.all(oh[i, L:] == 0)
+            # sentinel row: all zeros, zero length
+            assert np.all(oh[g["n"]] == 0) and hl[g["n"]] == 0
+
+
+def test_text_blocks_trajectory_matches_host_onehot():
+    """The fused text pipeline (TextDeviceDataset.epoch_blocks +
+    train_batch_block with on-device one-hot expansion) must produce the
+    same trajectory as host-fed train_batch on the SAME plan order with
+    host one-hot frames (rng=None -> both walk group plans
+    sequentially)."""
+    import jax
+    import jax.nn
+    from clstm_tpu.data.device_cache import TextDeviceDataset
+    from clstm_tpu.models.hl import CLSTMText
+
+    pairs = _pairs(n=19, seed=2)
+    icodec = Codec.build(a for a, _ in pairs)
+    codec = Codec.build(b for _, b in pairs)
+
+    def make():
+        m = CLSTMText(input_repeat=2)
+        m.createBidi(icodec, codec, 10, seed=0)
+        m.setLearningRate(1e-3, 0.9)
+        return m, TextDeviceDataset(pairs, icodec, codec, input_repeat=2)
+
+    # A: fused K-step blocks, one-hot on device inside the scan.
+    ma, da = make()
+    for _ in range(2):
+        for block in da.epoch_blocks(8, 2):
+            ma.train_batch_block(block, k_max=2)
+
+    # B: host-gathered int batches -> host one-hot -> plain train_batch.
+    mb, db = make()
+    for _ in range(2):
+        for batch in db.epoch(8):
+            xb = np.asarray(jax.nn.one_hot(np.asarray(batch["x"]),
+                                           icodec.size(), dtype=np.float32))
+            mb.train_batch({"x": xb, "lengths": batch["lengths"],
+                            "targets": batch["targets"],
+                            "target_lengths": batch["target_lengths"]})
+
+    for a, b in zip(jax.tree.leaves(ma.state.params),
+                    jax.tree.leaves(mb.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)

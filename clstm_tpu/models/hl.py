@@ -32,6 +32,25 @@ from clstm_tpu.train import (
     TrainState, make_predict_step, make_train_step, unpack_report)
 
 
+_clamp_warned = False
+
+
+def _warn_inference_clamp(T: int, tb: int) -> None:
+    """One-time warning when an inference input exceeds the largest
+    T bucket and gets clamped (the reference processes arbitrary-length
+    lines; silent truncation would quietly shorten transcriptions —
+    round-4 advisor note; mirrors the training CLIs' truncation
+    accounting convention)."""
+    global _clamp_warned
+    if T > tb and not _clamp_warned:
+        _clamp_warned = True
+        import warnings
+        warnings.warn(
+            f"inference input of {T} frames exceeds the largest bucket "
+            f"({tb}); output is truncated to the first {tb} frames",
+            stacklevel=3)
+
+
 def _canon_dewarp(kind: str) -> str:
     """CLI dewarp spellings -> ops/preprocess kind (mirrors make_normalizer)."""
     k = (kind or "center").lower()
@@ -356,6 +375,7 @@ class CLSTMOCR(_TrainableBase):
 
     def _predict_one(self, x: np.ndarray):
         tb = bucket_for(x.shape[0], T_BUCKETS)
+        _warn_inference_clamp(x.shape[0], tb)
         x = x[:tb]  # clamp over-bucket lines (see _one_line_batch)
         xb = np.zeros((1, tb, x.shape[1]), np.float32)
         xb[0, : x.shape[0]] = x
@@ -377,8 +397,9 @@ class CLSTMOCR(_TrainableBase):
         self._ensure_compiled()
         kind = _canon_dewarp(self.dewarp)
         buf, hs, ws = pack_raw_images(images)
-        tb = bucket_for(
-            estimate_out_T(images, self.target_height, self.pad), T_BUCKETS)
+        est_T = estimate_out_T(images, self.target_height, self.pad)
+        tb = bucket_for(est_T, T_BUCKETS)
+        _warn_inference_clamp(est_T, tb)
         x, lengths = prepare_batch_device(
             jnp.asarray(buf), jnp.asarray(hs), jnp.asarray(ws), kind=kind,
             target_height=self.target_height, out_T=tb, pad=self.pad)
@@ -458,6 +479,7 @@ class CLSTMText(_TrainableBase):
     def predict(self, inp: str) -> str:
         x = self.encode_input(inp)
         tb = bucket_for(x.shape[0], T_BUCKETS)
+        _warn_inference_clamp(x.shape[0], tb)
         x = x[:tb]  # clamp over-bucket inputs (see CLSTMOCR._one_line_batch)
         xb = np.zeros((1, tb, x.shape[1]), np.float32)
         xb[0, : x.shape[0]] = x

@@ -153,3 +153,35 @@ def test_decode_frames_equivalent():
     ids = probs.argmax(1)
     vals = probs.max(1)
     assert decode_frames(ids, vals) == trivial_decode(probs)
+
+
+def test_ctc_precision_env_escape_hatch(monkeypatch):
+    """ctc_precision=highest routes the alignment einsums to f32 6-pass
+    (the round-4 HIGH(bf16x3) rollback hatch — advisor note: the knob is
+    hardware-only in effect, so on CPU the two must agree exactly; this
+    test pins the env contract, bad values raise)."""
+    from clstm_tpu.ops.ctc import _mxu_precision
+    import jax
+
+    assert _mxu_precision() == jax.lax.Precision.HIGH
+    monkeypatch.setenv("ctc_precision", "highest")
+    assert _mxu_precision() == jax.lax.Precision.HIGHEST
+    monkeypatch.setenv("ctc_precision", "default")
+    with np.testing.assert_raises(ValueError):
+        _mxu_precision()
+
+    # both tiers produce identical alignments on CPU (true-f32 backend)
+    rng = np.random.RandomState(3)
+    C = 6
+    classes = [2, 5, 1]
+    tids = mktargets_ids(classes)[None]
+    probs = jnp.asarray(_rand_probs(rng, 16, C)[None])
+    monkeypatch.setenv("ctc_precision", "high")
+    a = np.asarray(ctc_align_targets_batched(
+        probs, jnp.asarray(tids), lengths=jnp.asarray([16]),
+        target_lengths=jnp.asarray([len(tids[0])])))
+    monkeypatch.setenv("ctc_precision", "highest")
+    b = np.asarray(ctc_align_targets_batched(
+        probs, jnp.asarray(tids), lengths=jnp.asarray([16]),
+        target_lengths=jnp.asarray([len(tids[0])])))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)

@@ -231,3 +231,27 @@ def test_one_line_batch_clamps_over_bucket_lines():
     bt = txt._one_batch(xt, [1])
     assert bt["x"].shape[1] == T_BUCKETS[-1]
     assert int(bt["lengths"][0]) == T_BUCKETS[-1]
+
+
+def test_inference_clamp_warns_once(monkeypatch):
+    """Inference inputs longer than the largest T bucket warn (once) when
+    clamped — the reference processes arbitrary-length lines, so silent
+    truncation of transcriptions is surprising (round-4 advisor note)."""
+    import warnings
+    import numpy as np
+    import clstm_tpu.models.hl as hl
+    from clstm_tpu.data.dataset import T_BUCKETS
+    from clstm_tpu.models.codec import Codec
+
+    monkeypatch.setattr(hl, "_clamp_warned", False)
+    ocr = hl.CLSTMOCR(target_height=8, dewarp="none")
+    ocr.createBidi(Codec.build(["ab"]), 4)
+    x = np.random.RandomState(0).rand(T_BUCKETS[-1] + 300, 8)
+    x = x.astype(np.float32)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ocr._predict_one(x)
+        assert any("truncated" in str(x.message) for x in w), w
+        n = len(w)
+        ocr._predict_one(x)           # one-time: no second warning
+        assert len(w) == n

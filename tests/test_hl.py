@@ -255,3 +255,49 @@ def test_inference_clamp_warns_once(monkeypatch):
         n = len(w)
         ocr._predict_one(x)           # one-time: no second warning
         assert len(w) == n
+
+
+def test_mesh_resume_continues_exact_trajectory(tmp_path):
+    """DP mid-training resume (round-4 verdict item 6): save under an
+    ACTIVE mesh, reload into a fresh model + fresh mesh (fresh shard_map
+    step closures — the jit caches a resumed process would rebuild),
+    continue, and match the uninterrupted mesh run exactly. The sidecar
+    stores replicated TrainState; nothing previously proved mesh-resume
+    equivalence."""
+    import jax
+    from clstm_tpu.parallel.mesh import make_mesh
+
+    codec = Codec.build(["abcd"])
+    rng = np.random.RandomState(11)
+    batches = [_rand_ctc_batch(rng, 8, 24, 12, codec.size())
+               for _ in range(6)]
+
+    def fresh():
+        ocr = CLSTMOCR(target_height=12, dewarp="none")
+        ocr.createBidi(codec, nhidden=8, seed=3)
+        ocr.setLearningRate(1e-2, 0.9)
+        ocr.set_mesh(make_mesh(8))
+        return ocr
+
+    ref = fresh()
+    for b in batches:
+        ref.train_batch(b)
+
+    a = fresh()
+    for b in batches[:3]:
+        a.train_batch(b)
+    f = str(tmp_path / "m.clstm")
+    a.save(f)
+    assert (tmp_path / "m.clstm.state.npz").exists()
+
+    b2 = CLSTMOCR(target_height=12, dewarp="none")
+    b2.load(f)
+    b2.setLearningRate(1e-2, 0.9)
+    b2.set_mesh(make_mesh(8))          # fresh mesh + fresh step closures
+    assert int(np.asarray(b2.state.step)) == 3
+    for b in batches[3:]:
+        b2.train_batch(b)
+
+    for p, q in zip(jax.tree.leaves(ref.state.params),
+                    jax.tree.leaves(b2.state.params)):
+        np.testing.assert_array_equal(np.asarray(p), np.asarray(q))

@@ -40,6 +40,13 @@ bench_mode selects what runs (default "all"):
           overhead regression guard — target >0.95)
   dp8     8-way DP e2e clstmocrtrain rate on the virtual CPU mesh (CPU
           correctness/wiring check, not a TPU perf number)
+  filter_e2e  END-TO-END clstmfiltertrain rate: the CLI's device-resident
+          fused-blocks hot loop on the CMU-shaped synthetic g2p corpus
+          (BASELINE config 5 train half; run-cmu task)
+  infer_e2e   END-TO-END clstmocr rate: proto load + PNG decode + device
+          preprocess + predict + CTC decode + sidecar write over a
+          synthetic page set (BASELINE config 5 inference half)
+"mode=all" runs device + e2e + dp1 + infer + filter_e2e + infer_e2e + dp8.
 """
 
 from __future__ import annotations
@@ -242,6 +249,145 @@ def bench_e2e() -> dict:
         "vs_baseline": round(rate / get_baseline(), 2),
         "run_rates": [round(r, 1) for r in rates],
         "steps_per_dispatch": block_k,
+    }
+
+
+def bench_filter_e2e() -> dict:
+    """End-to-end clstmfiltertrain throughput on the CMU-shaped synthetic
+    g2p corpus (BASELINE config 5 train half; scripts/run-cmu task): the
+    CLI's device-resident fused-blocks hot loop
+    (cli/clstmfiltertrain.train_blocks — TextDeviceDataset int-id corpus,
+    on-device one-hot, K train steps per dispatch), timed over
+    steady-state epochs. Round-4 verdict weak #2: the host-streaming loop
+    recorded a flat 330 pairs/s on the chip (runs/r3/cmu-b16.jsonl)."""
+    import numpy as np
+
+    from clstm_tpu.data.device_cache import TextDeviceDataset
+    from clstm_tpu.models.codec import Codec
+    from clstm_tpu.models.hl import CLSTMText
+
+    B = int(os.environ.get("bench_filter_batch", 256))
+    npairs = int(os.environ.get("bench_filter_pairs", 4096))
+    reps = int(os.environ.get("bench_e2e_epochs", 5))
+    block_k = int(os.environ.get("steps_per_dispatch", 16))
+
+    # The run-cmu synthetic g2p task (digraph rules; same codec shapes and
+    # CTC slack profile as grapheme->phoneme).
+    rules = {"th": "T", "ch": "C", "sh": "S", "ee": "i", "oo": "u",
+             "ng": "N"}
+    letters = "abcdefghilmnoprstu"
+
+    def g2p(word):
+        out, i = [], 0
+        while i < len(word):
+            if word[i:i + 2] in rules:
+                out.append(rules[word[i:i + 2]])
+                i += 2
+            else:
+                out.append(word[i].upper())
+                i += 1
+        return "".join(out)
+
+    rng = np.random.RandomState(0)
+    seen, pairs = set(), []
+    while len(pairs) < npairs:
+        w = "".join(letters[rng.randint(len(letters))]
+                    for _ in range(rng.randint(3, 10)))
+        if w not in seen:
+            seen.add(w)
+            pairs.append((w, g2p(w)))
+
+    model = CLSTMText(input_repeat=3)
+    icodec = Codec.build(a for a, _ in pairs)
+    codec = Codec.build(b for _, b in pairs)
+    model.createBidi(icodec, codec, 100, seed=0)
+    model.setLearningRate(1e-4, 0.9)
+    dcache = TextDeviceDataset(pairs, icodec, codec, input_repeat=3)
+
+    def one_run() -> int:
+        trials = 0
+        for block in dcache.epoch_blocks(B, block_k, rng=rng,
+                                         epochs=block_k):
+            m = model.train_batch_block(block, k_max=block_k)
+            trials += int(block["nreal"])
+        float(m["loss"])  # host-transfer sync (see bench_device note)
+        return trials
+
+    one_run()                       # warmup (compiles all bucket groups)
+    rates = []
+    for _ in range(reps):
+        t0 = time.time()
+        n = one_run()
+        rates.append(n / (time.time() - t0))
+    rates.sort()
+    return {
+        "metric": "cmu_clstmfiltertrain_e2e_train_pairs_per_sec_per_chip",
+        "value": round(rates[len(rates) // 2], 2),
+        "unit": "pairs/sec",
+        "run_rates": [round(r, 1) for r in rates],
+        "batch": B, "steps_per_dispatch": block_k,
+    }
+
+
+def bench_infer_e2e() -> dict:
+    """End-to-end clstmocr CLI throughput (BASELINE config 5 inference
+    half; reference clstmocr.cc ≈L1-150): proto model load, then per rep
+    PNG decode -> bucketed device preprocess -> jitted predict -> CTC
+    decode -> .txt sidecar write, over a synthetic page set — the REAL
+    cli/clstmocr.py path (predict_pages + write_outputs), so the gap to
+    bench_infer's jitted-step rate is the measured host-stage cost."""
+    import numpy as np
+
+    from clstm_tpu.cli.clstmocr import predict_pages, write_outputs
+    from clstm_tpu.data.lines import LineGenerator, make_dataset_dir
+    from clstm_tpu.io.png import read_png
+    from clstm_tpu.models.codec import Codec
+    from clstm_tpu.models.hl import CLSTMOCR
+
+    npages = int(os.environ.get("bench_infer_pages", 256))
+    reps = int(os.environ.get("bench_e2e_epochs", 5))
+    work = os.environ.get("bench_e2e_dir", "/tmp/clstm_bench_e2e")
+    pagedir = os.path.join(work, f"pages_{npages}")
+    manifest = os.path.join(pagedir, "manifest.files")
+    if not os.path.exists(manifest):
+        os.makedirs(pagedir, exist_ok=True)
+        gen = LineGenerator(seed=1)
+        texts = [gen.random_sentence() for _ in range(npages)]
+        m = make_dataset_dir(os.path.join(pagedir, "p"), npages, gen=gen,
+                             texts=texts)
+        os.replace(m, manifest)
+    files = [l.split("\t")[0] for l in open(manifest).read().splitlines()]
+
+    # Proto model load (config 5 names it): build once, save, load back.
+    model_path = os.path.join(work, "infer_e2e_model.clstm")
+    if not os.path.exists(model_path):
+        tmp = CLSTMOCR(target_height=48, dewarp="center")
+        gen = LineGenerator(seed=1)
+        tmp.createBidi(Codec.build([gen.charset]), 100, seed=0)
+        tmp.save(model_path, sidecar=False)
+    ocr = CLSTMOCR(dewarp="center")
+    ocr.load(model_path)
+    ocr.target_height = ocr.spec.iget("ninput", ocr.target_height)
+
+    def one_run() -> int:
+        images = [read_png(f) for f in files]
+        results = predict_pages(ocr, images, device_preprocess=1)
+        write_outputs(ocr, files, images, results, output="sidecar")
+        return len(files)
+
+    one_run()                       # warmup (compiles preprocess+predict)
+    rates = []
+    for _ in range(reps):
+        t0 = time.time()
+        n = one_run()
+        rates.append(n / (time.time() - t0))
+    rates.sort()
+    return {
+        "metric": "uw3_clstmocr_e2e_infer_lines_per_sec_per_chip",
+        "value": round(rates[len(rates) // 2], 2),
+        "unit": "lines/sec",
+        "run_rates": [round(r, 1) for r in rates],
+        "pages": npages,
     }
 
 
@@ -501,14 +647,24 @@ def main() -> int:
     if mode == "dp8":
         print(json.dumps(bench_dp8()))
         return 0
+    if mode == "filter_e2e":
+        print(json.dumps(bench_filter_e2e()))
+        return 0
+    if mode == "infer_e2e":
+        print(json.dumps(bench_infer_e2e()))
+        return 0
     result = bench_device()
     if mode == "all":
-        # One line, all four driver-audited metrics: e2e + dp1 + infer
-        # ride along as nested objects (the north star is train+INFER
-        # lines/sec — round-3 verdict weak #4); a failure in any must not
-        # lose the headline.
+        # One line, all driver-audited metrics: e2e + dp1 + infer +
+        # filter_e2e + infer_e2e + dp8 ride along as nested objects (the
+        # north star is train+INFER lines/sec at the FRAMEWORK level —
+        # round-4 verdict items 1/2/4); a failure in any must not lose
+        # the headline.
         for name, fn in (("e2e", bench_e2e), ("dp1", bench_dp1),
-                         ("infer", bench_infer)):
+                         ("infer", bench_infer),
+                         ("filter_e2e", bench_filter_e2e),
+                         ("infer_e2e", bench_infer_e2e),
+                         ("dp8", bench_dp8)):
             try:
                 result[name] = fn()
             except Exception as e:  # pragma: no cover - defensive

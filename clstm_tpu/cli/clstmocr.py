@@ -45,9 +45,17 @@ def predict_pages(ocr: CLSTMOCR, images, device_preprocess: int = 1) -> dict:
             tb = bucket_for(
                 estimate_out_T([img], ocr.target_height, ocr.pad), T_BUCKETS)
             by_bucket.setdefault(tb, []).append(i)
+        # Two phases: enqueue EVERY bucket's upload+prepare+predict first
+        # (sync=False returns un-fetched device arrays), then fetch —
+        # bucket k+1's transfers and compute overlap bucket k's
+        # device->host read instead of serializing on it.
+        pending = []
         for tb, idxs in by_bucket.items():
-            ids, vals, lengths = ocr.predict_batch_images(
-                [images[i] for i in idxs])
+            pending.append((idxs, ocr.predict_batch_images(
+                [images[i] for i in idxs], sync=False)))
+        for idxs, (ids_d, vals_d, lengths_d) in pending:
+            ids, vals = np.asarray(ids_d), np.asarray(vals_d)
+            lengths = np.asarray(lengths_d)
             for r, i in enumerate(idxs):
                 L = int(lengths[r])
                 cls, pos = decode_frames(ids[r][:L], vals[r][:L],

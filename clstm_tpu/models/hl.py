@@ -231,19 +231,22 @@ class _TrainableBase:
     def predict_batch(self, x: np.ndarray, lengths: np.ndarray):
         """-> per-frame (ids [B,T], vals [B,T]) numpy arrays.
 
-        With a mesh set, rows are padded up to a multiple of the mesh size
-        (zero-length rows, masked everywhere) and the padding sliced off —
-        callers keep arbitrary batch sizes."""
+        Rows are padded up to a multiple of 8 (and of the mesh size when
+        one is set) with zero-length rows — masked everywhere — and the
+        padding sliced off, so callers keep arbitrary batch sizes. The
+        8-row alignment keeps odd batches on the fused Pallas inference
+        kernel (its sublane contract is B % 8 == 0; without it, clstmocr's
+        width buckets of e.g. 22 or 65 pages fell back to the lax.scan
+        path at ~10x lower throughput — measured round 5)."""
         self._ensure_compiled()
         B = x.shape[0]
-        if self.mesh is not None:
-            n = self.mesh.devices.size
-            pad = (-B) % n
-            if pad:
-                x = np.concatenate(
-                    [x, np.zeros((pad,) + x.shape[1:], x.dtype)])
-                lengths = np.concatenate(
-                    [np.asarray(lengths), np.zeros(pad, np.int32)])
+        n = 8 if self.mesh is None else 8 * self.mesh.devices.size
+        pad = (-B) % n
+        if pad:
+            x = np.concatenate(
+                [x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+            lengths = np.concatenate(
+                [np.asarray(lengths), np.zeros(pad, np.int32)])
         ids, vals = self._predict(self.state.params, jnp.asarray(x),
                                   jnp.asarray(lengths))
         return np.asarray(ids)[:B], np.asarray(vals)[:B]
@@ -382,14 +385,20 @@ class CLSTMOCR(_TrainableBase):
         ids, vals = self.predict_batch(xb, np.array([x.shape[0]], np.int32))
         return ids[0][: x.shape[0]], vals[0][: x.shape[0]]
 
-    def predict_batch_images(self, images: Sequence[np.ndarray]):
+    def predict_batch_images(self, images: Sequence[np.ndarray],
+                             sync: bool = True):
         """Batched inference from RAW line images with the normalization/
         transposition stage running ON DEVICE (the north-star preprocessing
         stage; ops/preprocess.py): pack raw lines into one buffer, jit
         normalize+prepare, feed the jitted predict step — the pixels make a
         single host->device hop.
 
-        -> (ids [B,T], vals [B,T], lengths [B]) numpy arrays.
+        -> (ids [B,T], vals [B,T], lengths [B]) numpy arrays; with
+        ``sync=False``, device arrays are returned WITHOUT waiting — the
+        dispatch is enqueued and the caller fetches with np.asarray when
+        ready, so multiple bucket batches overlap their transfers and
+        compute (clstmocr.predict_pages enqueues every width bucket
+        before reading any result).
         """
         from clstm_tpu.ops.preprocess import (
             estimate_out_T, pack_raw_images, prepare_batch_device)
@@ -403,8 +412,18 @@ class CLSTMOCR(_TrainableBase):
         x, lengths = prepare_batch_device(
             jnp.asarray(buf), jnp.asarray(hs), jnp.asarray(ws), kind=kind,
             target_height=self.target_height, out_T=tb, pad=self.pad)
+        # Pad rows to a multiple of 8 (zero-length, masked) so odd page
+        # buckets stay on the fused Pallas kernel (see predict_batch).
+        B = x.shape[0]
+        rpad = (-B) % (8 if self.mesh is None else 8 * self.mesh.devices.size)
+        if rpad:
+            x = jnp.pad(x, ((0, rpad), (0, 0), (0, 0)))
+            lengths = jnp.pad(lengths, (0, rpad))
         ids, vals = self._predict(self.state.params, x, lengths)
-        return np.asarray(ids), np.asarray(vals), np.asarray(lengths)
+        if not sync:
+            return ids[:B], vals[:B], lengths[:B]
+        return (np.asarray(ids)[:B], np.asarray(vals)[:B],
+                np.asarray(lengths)[:B])
 
 
 class CLSTMText(_TrainableBase):

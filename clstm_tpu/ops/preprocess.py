@@ -274,11 +274,18 @@ def prepare_batch_device(imgs, hs, ws, *, kind: str = "center",
                          pad: int = 16):
     """Batched on-device prepare_line.
 
-    imgs: [B, Hmax, Wmax] float32 raw grayscale lines, ink black on white,
-    values in [0, 1], zero-padded to the buffer; hs/ws: [B] int32 true
-    sizes. Returns (x [B, out_T, target_height], lengths [B]) ready for
-    apply_net — the full normalize+transpose+pad pipeline in one jit.
+    imgs: [B, Hmax, Wmax] raw grayscale lines, ink black on white,
+    zero-padded to the buffer — float32 in [0, 1], or uint8 (converted to
+    x/255 on device; see pack_raw_images' 8-bit fast path); hs/ws: [B]
+    int32 true sizes. Returns (x [B, out_T, target_height], lengths [B])
+    ready for apply_net — the full normalize+transpose+pad pipeline in
+    one jit.
     """
+    if imgs.dtype == jnp.uint8:
+        # True division (not *1/255): bit-identical to the host's
+        # np.float32(k)/255.0, which pack_raw_images' exactness check
+        # asserts against.
+        imgs = imgs.astype(jnp.float32) / 255.0
     fn = functools.partial(_prepare_one, kind=kind, th=target_height,
                            out_T=out_T, pad=pad)
     return jax.vmap(fn)(imgs, hs.astype(jnp.int32), ws.astype(jnp.int32))
@@ -286,7 +293,15 @@ def prepare_batch_device(imgs, hs, ws, *, kind: str = "center",
 
 def pack_raw_images(images) -> tuple:
     """Host helper: pad a list of [h, w] numpy grayscale images into the
-    ([B, Hmax, Wmax], hs, ws) buffers prepare_batch_device expects."""
+    ([B, Hmax, Wmax], hs, ws) buffers prepare_batch_device expects.
+
+    8-bit fast path: when every pixel is exactly representable as k/255
+    (always true for PNG-decoded lines — the source is 8-bit), the buffer
+    is returned as uint8 and converted back to x/255 float32 ON DEVICE,
+    bit-identical to the float path. Raw pixels are the largest
+    host->device transfer of the inference pipeline (4 bytes/px vs the
+    source's 1), so this quarters PCIe/link bytes; images that are not
+    8-bit-exact (synthetic float renders) keep the exact float32 path."""
     B = len(images)
     Hmax = max(int(im.shape[0]) for im in images)
     Wmax = max(int(im.shape[1]) for im in images)
@@ -298,6 +313,10 @@ def pack_raw_images(images) -> tuple:
         buf[i, :h, :w] = im
         hs[i] = h
         ws[i] = w
+    q = np.rint(buf * 255.0)
+    if q.max(initial=0.0) <= 255.0 and np.array_equal(
+            q.astype(np.float32) / np.float32(255.0), buf):
+        return q.astype(np.uint8), hs, ws
     return buf, hs, ws
 
 

@@ -69,7 +69,15 @@ class DeviceDataset:
                  codec: Codec,
                  t_buckets: Sequence[int] = T_BUCKETS,
                  s_buckets: Sequence[int] = S_BUCKETS,
-                 device=None, mesh=None, axis: str = "data"):
+                 device=None, mesh=None, axis: str = "data",
+                 merge_sb: bool = False):
+        """``merge_sb=True`` groups by T bucket ONLY and pads every line
+        in a group to the group's largest needed S bucket. Fewer, larger
+        groups mean fewer partial batches (less zero-row padding compute)
+        and fewer compiled shapes, at the cost of a wider CTC lattice for
+        short-target lines — measured round 5 on the bench corpus the row
+        waste drops 11%->3% while the extra lattice cost is noise, so the
+        CLIs default to it on the cache path."""
         self._init_placement(device, mesh, axis)
         groups: dict = {}
         self.t_truncated = self.s_truncated = 0  # over-bucket lines (see
@@ -80,11 +88,17 @@ class DeviceDataset:
             sb = bucket_for(2 * len(classes) + 1, s_buckets)
             self.t_truncated += x.shape[0] > t_buckets[-1]
             self.s_truncated += 2 * len(classes) + 1 > s_buckets[-1]
-            groups.setdefault((tb, sb), []).append((x, text, classes))
+            key = tb if merge_sb else (tb, sb)
+            groups.setdefault(key, []).append((x, text, classes, sb))
+
+        if merge_sb:
+            groups = {(tb, max(it[3] for it in items)): items
+                      for tb, items in groups.items()}
 
         self.groups = []
         self.nbytes = 0
         for (tb, sb), items in sorted(groups.items()):
+            items = [it[:3] for it in items]
             N = len(items)
             H = items[0][0].shape[1]
             x = np.zeros((N + 1, tb, H), np.float32)     # +1 zero sentinel

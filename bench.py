@@ -431,7 +431,10 @@ def bench_dp1() -> dict:
     # 0.92 and 1.05 on consecutive runs of identical code). Alternating
     # plain/DP legs back-to-back puts both under the same weather; the
     # median of per-pair ratios is the guard.
-    reps = int(os.environ.get("bench_dp1_reps", 3))
+    # 5 interleaved pairs (round-4 verdict weak #5: per-leg spread is
+    # ±3%, so k=3 could hide a real 3-4% mesh regression in one leg's
+    # noise; the median of 5 plus the reported min bound it).
+    reps = int(os.environ.get("bench_dp1_reps", 5))
     plain_step = make_train_step(spec, lr=1e-4, momentum=0.9,
                                  loss_kind="ctc")
     mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
@@ -471,6 +474,7 @@ def bench_dp1() -> dict:
         "unit": "lines/sec",
         "vs_baseline": round(ratios[len(ratios) // 2], 4),
         "ratios": [round(r, 4) for r in ratios],
+        "min_ratio": round(ratios[0], 4),
     }
 
 

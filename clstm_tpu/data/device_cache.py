@@ -234,6 +234,13 @@ class DeviceDataset:
                     h, w = im.shape
                     buf[i, :h, :w] = im
                     hs[i], ws[i] = h, w
+                # 8-bit upload fast path (see pack_raw_images): PNG
+                # sources are k/255-exact, so shipping uint8 and
+                # converting on device is bit-identical at 1/4 the bytes.
+                q = np.rint(buf * 255.0)
+                if q.max(initial=0.0) <= 255.0 and np.array_equal(
+                        q.astype(np.float32) / np.float32(255.0), buf):
+                    buf = q.astype(np.uint8)
                 x, lengths = prepare_batch_device(
                     jnp.asarray(buf), jnp.asarray(hs), jnp.asarray(ws),
                     kind=kind, target_height=target_height, out_T=tb,

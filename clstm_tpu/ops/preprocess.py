@@ -282,10 +282,18 @@ def prepare_batch_device(imgs, hs, ws, *, kind: str = "center",
     one jit.
     """
     if imgs.dtype == jnp.uint8:
-        # True division (not *1/255): bit-identical to the host's
-        # np.float32(k)/255.0, which pack_raw_images' exactness check
-        # asserts against.
-        imgs = imgs.astype(jnp.float32) / 255.0
+        # Exact k/255 conversion needs a TRUE division: XLA rewrites
+        # division by a literal constant into reciprocal-multiply, which
+        # is 1 ulp off for 126 of the 256 byte values — and the center
+        # measurement's argmax amplifies ulp-level pixel noise into ±1px
+        # width changes (measured round 5: 12/12 lines shifted). The
+        # optimization_barrier makes the denominator opaque, so the
+        # compiled code divides: bit-identical to numpy on CPU (IEEE
+        # divide — where the host-parity suite runs); on TPU the divide
+        # unit itself is <=1 ulp approximate, which is self-consistent
+        # pixel noise within the device pipeline.
+        den = jax.lax.optimization_barrier(jnp.float32(255.0))
+        imgs = imgs.astype(jnp.float32) / den
     fn = functools.partial(_prepare_one, kind=kind, th=target_height,
                            out_T=out_T, pad=pad)
     return jax.vmap(fn)(imgs, hs.astype(jnp.int32), ws.astype(jnp.int32))

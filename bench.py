@@ -228,6 +228,7 @@ def bench_e2e() -> dict:
                         nxt += max(report_every, 1)
                     crossings.append((trials, s))
             if crossings:
+                m["report_all"].copy_to_host_async()  # see clstmocrtrain
                 pending = (m, crossings, block["texts"],
                            block["host_lengths"])
         flush()

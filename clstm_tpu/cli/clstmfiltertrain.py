@@ -192,6 +192,9 @@ def train_blocks(model: CLSTMText, dcache, test_pairs, *, ntrain,
                         next_report += max(report_every, 1)
                     crossings.append((trials, s))
             if crossings:
+                # Background D2H now, blocking read one block later (see
+                # clstmocrtrain's note on the same line).
+                m["report_all"].copy_to_host_async()
                 pending = (m, crossings, btexts, bhls)
             if test_pairs and trials >= next_test:
                 flush_pending()

@@ -639,6 +639,9 @@ def bench_infer() -> dict:
 
 
 def main() -> int:
+    from clstm_tpu.utils.config import enable_compile_cache
+    enable_compile_cache()  # persistent XLA cache: repeat bench runs skip
+    #                         the ~5 min of per-shape tunnel compiles
     mode = os.environ.get("bench_mode", "all")
     if mode == "e2e":
         print(json.dumps(bench_e2e()))

@@ -43,6 +43,8 @@ def _predict_batched(model: CLSTMText, lines, batch_size: int):
 
 
 def main(argv=None) -> int:
+    from clstm_tpu.utils.config import enable_compile_cache
+    enable_compile_cache(getsenv("compile_cache", ""))
     load = getsenv("load", "")
     if not load:
         print(__doc__)

@@ -20,6 +20,8 @@ as int32 character ids (data.device_cache.TextDeviceDataset — one-hot
 expansion happens on device inside the jitted step) and fuses K
 gather+train batches into ONE dispatch (lax.scan over the on-device
 epoch plan; shard_map K-scan with a mesh). Extra env params:
+  compile_cache=         persistent XLA compile-cache dir (see
+                         clstmocrtrain; off = disable)
   cache=auto             device|host|auto — host falls back to streaming
                          host-built batches (the pre-round-5 path)
   steps_per_dispatch=0   K batches per dispatch (0 = auto K<=16, clamped
@@ -225,6 +227,8 @@ def main(argv=None) -> int:
     if not argv:
         print(__doc__)
         return 1
+    from clstm_tpu.utils.config import enable_compile_cache
+    enable_compile_cache(getsenv("compile_cache", ""))
     save_name = getsenv("save_name", "filter")
     load = getsenv("load", "")
     ntrain = getienv("ntrain", 1000000)

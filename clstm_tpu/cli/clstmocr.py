@@ -12,6 +12,9 @@ Env params:
   device_preprocess=1  run normalization/transposition ON DEVICE
                     (ops/preprocess.py, the north-star preprocessing
                     stage); 0 = host scipy path.
+  compile_cache=    persistent XLA compile cache dir (""=default
+                    /tmp/clstm_tpu_xla_cache, off=disable) — repeat runs
+                    skip per-shape compiles
 Batched page inference (BASELINE config 5): all given images are bucketed
 and run as batches, not one by one.
 """
@@ -119,6 +122,8 @@ def write_outputs(ocr: CLSTMOCR, argv, images, results: dict,
 
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
+    from clstm_tpu.utils.config import enable_compile_cache
+    enable_compile_cache(getsenv("compile_cache", ""))
     load = getsenv("load", "")
     if not load or not argv:
         print(__doc__)

@@ -31,3 +31,31 @@ def getbenv(name: str, default: bool = False) -> bool:
     if v in (None, ""):
         return default
     return v.lower() not in ("0", "false", "no")
+
+
+def enable_compile_cache(path: str = "") -> str:
+    """Turn on JAX's persistent compilation cache (XLA executable cache
+    on disk) — measured on the tunneled v5e: a 70s cold jit drops to
+    0.9s in the next process. The reference has no compile step; here
+    every (batch, T-bucket) shape compiles once per PROCESS without
+    this, which dominates CLI cold-start (an 11-group corpus costs
+    ~5 min of compiles over the tunnel).
+
+    ``path``: cache directory; "" uses $compile_cache, then the default
+    /tmp/clstm_tpu_xla_cache; "off"/"0" disables. Returns the directory
+    in use ("" if disabled). Call before the first jit executes; the
+    CLIs and bench.py call it at startup.
+    """
+    import tempfile
+
+    path = path or getsenv("compile_cache", "")
+    if path in ("off", "0"):
+        return ""
+    if not path:
+        path = os.path.join(tempfile.gettempdir(), "clstm_tpu_xla_cache")
+    import jax
+
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    return path

@@ -173,7 +173,11 @@ def bench_e2e() -> dict:
     rng = np.random.RandomState(0)
     stream = os.environ.get("bench_e2e_stream", "0") not in ("0", "")
     block_k = int(os.environ.get("steps_per_dispatch", 16))
-    dcache = None if stream else DeviceDataset(samples, codec)
+    # Mirror the CLI's cache-path defaults (t_buckets=fine): finer width
+    # grid + sb-merged groups (round-5 padding A/B, +4% on this corpus).
+    from clstm_tpu.data.dataset import T_BUCKETS_FINE
+    dcache = None if stream else DeviceDataset(
+        samples, codec, t_buckets=T_BUCKETS_FINE, merge_sb=True)
 
     def one_run(report: bool = True) -> int:
         """The clstmocrtrain hot loop: block_k EPOCHS per run via

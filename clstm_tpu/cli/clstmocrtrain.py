@@ -52,6 +52,9 @@ TPU-native additions (no reference equivalent):
                      than K=1/mesh runs for the same randseed; use
                      steps_per_dispatch=1 when a trajectory must be
                      bit-comparable across those paths.
+  t_buckets=fine     cache-path bucket grouping: fine = finer width grid
+                     + sb-merged groups (measured +4% train rate, round-5
+                     padding A/B); default = the coarse (tb, sb) grouping
   compile_cache=     persistent XLA compile-cache dir ("" = default
                      /tmp/clstm_tpu_xla_cache; off = disable): repeat
                      invocations skip the per-shape compiles entirely
@@ -182,11 +185,18 @@ def main(argv=None) -> int:
 
     # Device-resident corpus cache (see module docstring of
     # data/device_cache.py): upload once, gather batches on device.
-    from clstm_tpu.data.dataset import T_BUCKETS, bucket_for
+    from clstm_tpu.data.dataset import (T_BUCKETS, T_BUCKETS_FINE,
+                                        bucket_for)
     from clstm_tpu.data.device_cache import DeviceDataset
     device_preprocess = getienv("device_preprocess", 0)
     cache_mode = getsenv("cache", "auto")
     cache_limit = getienv("cache_limit_mb", 4096)
+    # Cache-path bucket grouping (round-5 padding A/B — see
+    # data/dataset.py T_BUCKETS_FINE note): fine grid + sb-merged groups
+    # measured fastest; t_buckets=default restores the coarse (tb, sb)
+    # grouping for bit-comparability with older runs.
+    fine = getsenv("t_buckets", "fine") == "fine"
+    cache_kw = dict(t_buckets=T_BUCKETS_FINE, merge_sb=True) if fine else {}
     print("# preparing lines...", flush=True)
     samples = test_samples = None
     if device_preprocess:
@@ -198,7 +208,7 @@ def main(argv=None) -> int:
         dcache = DeviceDataset.from_files(
             train_ds.files, train_ds.texts(), codec,
             target_height=target_height, dewarp=dewarp, pad=train_ds.pad,
-            mesh=mesh)
+            mesh=mesh, **cache_kw)
         test_cache = (DeviceDataset.from_files(
             test_ds.files, test_ds.texts(), codec,
             target_height=target_height, dewarp=dewarp, pad=test_ds.pad,
@@ -214,8 +224,9 @@ def main(argv=None) -> int:
                                                and est_mb <= cache_limit)
         dcache = test_cache = None
         if use_cache:
-            dcache = DeviceDataset(samples, codec, mesh=mesh)
-            test_cache = (DeviceDataset(test_samples, codec, mesh=mesh)
+            dcache = DeviceDataset(samples, codec, mesh=mesh, **cache_kw)
+            test_cache = (DeviceDataset(test_samples, codec, mesh=mesh,
+                                        **cache_kw)
                           if test_samples else None)
     if use_cache:
         print(f"# device cache: {dcache.nbytes / 1e6:.0f} MB resident",

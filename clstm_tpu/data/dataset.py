@@ -42,6 +42,15 @@ from clstm_tpu.utils.text import read_text
 # trains toward a corrupted target and deflates apparent CER).
 T_BUCKETS = (128, 192, 256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096)
 S_BUCKETS = (16, 32, 48, 64, 96, 128, 192, 256, 384, 512)
+# Finer width grid for the DEVICE-CACHE training path (round-5 padding
+# A/B, benchmarks/r5_padding_ab*.py + runs/r5/padding_ab.jsonl): with
+# sb-merged groups the finer grid cut masked-frame waste 26.6%->~12% and
+# measured +4.2% train throughput on the chip; UNMERGED fine buckets
+# LOSE 42% to partial-batch row padding (27 groups), so fine goes with
+# merge_sb. Inference and host-streaming paths keep T_BUCKETS (fewer
+# compiled shapes matter more there).
+T_BUCKETS_FINE = (128, 160, 192, 224, 256, 320, 384, 448, 512, 640, 768,
+                  896, 1024, 1280, 1536, 2048, 3072, 4096)
 
 
 def count_truncations(samples, codec: "Codec",

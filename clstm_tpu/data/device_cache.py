@@ -158,7 +158,8 @@ class DeviceDataset:
                    s_buckets: Sequence[int] = S_BUCKETS,
                    chunk_size: int = 64,
                    device=None, mesh=None, axis: str = "data",
-                   nthreads: int = 0) -> "DeviceDataset":
+                   nthreads: int = 0,
+                   merge_sb: bool = False) -> "DeviceDataset":
         """Build the cache DIRECTLY from raw line images, with the whole
         normalization/transposition stage running ON DEVICE.
 
@@ -209,9 +210,15 @@ class DeviceDataset:
             sb = bucket_for(2 * len(classes) + 1, s_buckets)
             self.t_truncated += est_T > t_buckets[-1]
             self.s_truncated += 2 * len(classes) + 1 > s_buckets[-1]
-            groups.setdefault((tb, sb), []).append((raw, text, classes))
+            key = tb if merge_sb else (tb, sb)
+            groups.setdefault(key, []).append((raw, text, classes, sb))
+
+        if merge_sb:  # group by T bucket only; sb = group max (see __init__)
+            groups = {(tb, max(it[3] for it in items)): items
+                      for tb, items in groups.items()}
 
         for (tb, sb), items in sorted(groups.items()):
+            items = [it[:3] for it in items]
             N = len(items)
             dev_x, dev_len = [], []
             for lo in range(0, N, chunk_size):

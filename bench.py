@@ -172,7 +172,10 @@ def bench_e2e() -> dict:
 
     rng = np.random.RandomState(0)
     stream = os.environ.get("bench_e2e_stream", "0") not in ("0", "")
-    block_k = int(os.environ.get("steps_per_dispatch", 16))
+    # K=64 (round-5 sweep on the tunneled chip): 16 -> 34.2k, 32 -> 44.1k,
+    # 64 -> 46.8k lines/s — within 4% of the pure-loop rate; dispatch
+    # overhead and partial-batch remainders both amortize with K.
+    block_k = int(os.environ.get("steps_per_dispatch", 64))
     # Mirror the CLI's cache-path defaults (t_buckets=fine): finer width
     # grid + sb-merged groups (round-5 padding A/B, +4% on this corpus).
     from clstm_tpu.data.dataset import T_BUCKETS_FINE
@@ -274,7 +277,7 @@ def bench_filter_e2e() -> dict:
     B = int(os.environ.get("bench_filter_batch", 256))
     npairs = int(os.environ.get("bench_filter_pairs", 4096))
     reps = int(os.environ.get("bench_e2e_epochs", 5))
-    block_k = int(os.environ.get("steps_per_dispatch", 16))
+    block_k = int(os.environ.get("steps_per_dispatch", 64))
 
     # The run-cmu synthetic g2p task (digraph rules; same codec shapes and
     # CTC slack profile as grapheme->phoneme).

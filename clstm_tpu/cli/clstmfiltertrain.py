@@ -24,7 +24,7 @@ epoch plan; shard_map K-scan with a mesh). Extra env params:
                          clstmocrtrain; off = disable)
   cache=auto             device|host|auto — host falls back to streaming
                          host-built batches (the pre-round-5 path)
-  steps_per_dispatch=0   K batches per dispatch (0 = auto K<=16, clamped
+  steps_per_dispatch=0   K batches per dispatch (0 = auto K<=64, clamped
                          to the save/test cadence; 1 = one-step path)
 """
 
@@ -318,9 +318,9 @@ def main(argv=None) -> int:
             if steps_per_dispatch > 0:
                 block_k = steps_per_dispatch
             else:
-                block_k = max(1, min(16, save_every // batch_size,
+                block_k = max(1, min(64, save_every // batch_size,
                                      (test_every // batch_size
-                                      if test_pairs else 16)))
+                                      if test_pairs else 64)))
             train_blocks(model, dcache, test_pairs, ntrain=ntrain,
                          batch_size=batch_size, block_k=block_k,
                          report_every=report_every, save_every=save_every,

@@ -39,9 +39,10 @@ TPU-native additions (no reference equivalent):
                      differ slightly from the host-prepared path.
   steps_per_dispatch=0  K training batches fused into ONE device dispatch
                      (lax.scan over the on-device epoch plan; single-device
-                     cache path). 0 = auto (K<=16, clamped so save/test
-                     cadence overshoots by at most ~one period); 1 = the
-                     one-step path. Each dispatch enqueue costs ~20-36ms
+                     cache path). 0 = auto (K<=64, clamped so save/test
+                     cadence overshoots by at most ~one period — round-5
+                     K sweep on the tunneled chip: 16/32/64 = 34.2/44.1/
+                     46.8k lines/s e2e); 1 = the one-step path. Each dispatch enqueue costs ~20-36ms
                      of host RPC on a tunneled chip, so K>1 is the
                      difference between an enqueue-bound and a
                      compute-bound CLI. Reports keep their report_every
@@ -275,9 +276,9 @@ def main(argv=None) -> int:
     if steps_per_dispatch > 0:
         block_k = steps_per_dispatch
     else:
-        block_k = max(1, min(16, save_every // batch_size,
+        block_k = max(1, min(64, save_every // batch_size,
                              (test_every // batch_size
-                              if test_samples or test_cache else 16)))
+                              if test_samples or test_cache else 64)))
     pending = None  # deferred report: read AFTER the next dispatch is
     #                 enqueued, so the ~55ms device->host round-trip
     #                 overlaps the next block's compute instead of

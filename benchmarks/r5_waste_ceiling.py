@@ -72,6 +72,9 @@ def measure(ds, codec, B, K, E, reps=3):
 
 
 def main():
+    from clstm_tpu.utils.config import enable_compile_cache
+    enable_compile_cache()  # ~11 fine groups; fresh compiles would eat
+    #                         ~6 min of tunnel time per process otherwise
     from clstm_tpu.data.dataset import T_BUCKETS_FINE
     from clstm_tpu.data.device_cache import DeviceDataset
     from clstm_tpu.models.codec import Codec

@@ -176,11 +176,17 @@ def bench_e2e() -> dict:
     # 64 -> 46.8k lines/s — within 4% of the pure-loop rate; dispatch
     # overhead and partial-batch remainders both amortize with K.
     block_k = int(os.environ.get("steps_per_dispatch", 64))
-    # Mirror the CLI's cache-path defaults (t_buckets=fine): finer width
-    # grid + sb-merged groups (round-5 padding A/B, +4% on this corpus).
+    # Mirror the CLI's cache-path grouping (t_buckets env: fine =
+    # default finer width grid + sb-merged groups, round-5 padding A/B
+    # +4%; auto = corpus-adaptive DP cuts — data/dataset.py auto_t_cuts).
     from clstm_tpu.data.dataset import T_BUCKETS_FINE
-    dcache = None if stream else DeviceDataset(
-        samples, codec, t_buckets=T_BUCKETS_FINE, merge_sb=True)
+    tb_mode = os.environ.get("t_buckets", "fine")
+    cache_kw = (dict(t_buckets="auto", merge_sb=True,
+                     auto_hints=dict(batch_size=B, epochs=block_k,
+                                     k=block_k))
+                if tb_mode == "auto"
+                else dict(t_buckets=T_BUCKETS_FINE, merge_sb=True))
+    dcache = None if stream else DeviceDataset(samples, codec, **cache_kw)
 
     def one_run(report: bool = True) -> int:
         """The clstmocrtrain hot loop: block_k EPOCHS per run via

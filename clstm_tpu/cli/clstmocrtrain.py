@@ -55,7 +55,10 @@ TPU-native additions (no reference equivalent):
                      bit-comparable across those paths.
   t_buckets=fine     cache-path bucket grouping: fine = finer width grid
                      + sb-merged groups (measured +4% train rate, round-5
-                     padding A/B); default = the coarse (tb, sb) grouping
+                     padding A/B); auto = corpus-adaptive DP cuts solved
+                     from this corpus's length histogram + the measured
+                     per-dispatch cost (data/dataset.py auto_t_cuts);
+                     default = the coarse (tb, sb) grouping
   compile_cache=     persistent XLA compile-cache dir ("" = default
                      /tmp/clstm_tpu_xla_cache; off = disable): repeat
                      invocations skip the per-shape compiles entirely
@@ -196,8 +199,19 @@ def main(argv=None) -> int:
     # data/dataset.py T_BUCKETS_FINE note): fine grid + sb-merged groups
     # measured fastest; t_buckets=default restores the coarse (tb, sb)
     # grouping for bit-comparability with older runs.
-    fine = getsenv("t_buckets", "fine") == "fine"
-    cache_kw = dict(t_buckets=T_BUCKETS_FINE, merge_sb=True) if fine else {}
+    tb_mode = getsenv("t_buckets", "fine")
+    if tb_mode == "auto":
+        # Corpus-adaptive DP cuts (data/dataset.py auto_t_cuts): solve
+        # for THIS corpus's length mix + the live backend's dispatch
+        # cost instead of a fixed grid. The cost-model hints mirror the
+        # loop parameters below (batch_size; auto-K caps at 64).
+        cache_kw = dict(t_buckets="auto", merge_sb=True,
+                        auto_hints=dict(batch_size=batch_size,
+                                        epochs=64, k=64))
+    elif tb_mode == "fine":
+        cache_kw = dict(t_buckets=T_BUCKETS_FINE, merge_sb=True)
+    else:
+        cache_kw = {}
     print("# preparing lines...", flush=True)
     samples = test_samples = None
     if device_preprocess:

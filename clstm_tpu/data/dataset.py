@@ -111,6 +111,100 @@ def bucket_for(value: int, buckets: Sequence[int]) -> int:
     return buckets[min(i, len(buckets) - 1)]
 
 
+def auto_t_cuts(lengths: Sequence[int], batch_size: int = 32,
+                epochs: int = 64, k: int = 64,
+                dispatch_penalty_rows: float = 0.0,
+                quantum: int = 16, t_max: int = T_BUCKETS[-1],
+                max_groups: int = 24,
+                s_lengths: Optional[Sequence[int]] = None,
+                s_weight: float = 0.0036) -> tuple:
+    """Corpus-adaptive T buckets: exact DP over THIS corpus's length
+    histogram instead of a fixed grid (``t_buckets=auto`` on the CLIs).
+
+    Cost model, calibrated on the chip (runs/r5/waste_ceiling.jsonl): a
+    batch costs ~B*T executed frame-rows (the recurrence is
+    MXU-throughput-bound per frame-row — benchmarks/r5_bt_sweep.py), so
+    a group of n lines padded to bucket upper U over an E-epoch resident
+    plan costs ``ceil(n*E/B) * B * U`` frame-rows plus
+    ``ceil(batches/k) * dispatch_penalty_rows`` for its fused-K-scan
+    dispatches. The DP picks cut points over the (quantum-rounded)
+    unique lengths minimizing the total — it converges to the fixed fine
+    grid's cost or better by construction, and trades masked frames
+    against partial-batch tails and dispatch count for the ACTUAL corpus
+    mix (the round-5 padding A/B showed the fixed grids leave ~11% of
+    frame-rows on the table on the bench corpus while 27 mis-chosen
+    groups LOSE 42% to tails/dispatches — the tradeoff is corpus- and
+    link-dependent, hence a solver, not a grid).
+
+    ``dispatch_penalty_rows`` converts the per-dispatch overhead into
+    frame-rows (seconds * frame-rows-per-second; the tunneled chip runs
+    ~22M frame-rows/s and ~20-40ms per dispatch -> ~0.5-0.9M rows; a
+    PCIe host ~1ms -> ~22k). DeviceDataset measures it at build time
+    when asked for ``t_buckets="auto"``. If the optimum exceeds
+    ``max_groups`` (each group is a compiled shape set), the penalty is
+    doubled until it fits — compile count stays bounded like the fixed
+    grids' (reference env contract: bounded recompilation, see
+    T_BUCKETS note above).
+
+    ``s_lengths`` (per-line blank-interleaved target sizes 2*chars+1,
+    aligned with ``lengths``) adds the CTC lattice term: under merge_sb
+    a group's S bucket is the max over its lines, so WIDE T groups also
+    widen every member's [T, S] lattice — the round-5 padding A/B's
+    "merge-only loses 5.6%" effect, re-measured when the first auto DP
+    (frames-only model) lost 6.3% on the tunnel by collapsing to 7
+    groups. ``s_weight`` is the measured per-cell cost of the CTC
+    lattice relative to a frame-row (2.3ms CTC of an 11ms step at
+    [256, 1024, S=81] -> ~0.0036): group cost becomes
+    ``batches * B * U * (1 + s_weight * S_group)``."""
+    lens = [min(int(v), t_max) for v in lengths if v > 0]
+    if not lens:
+        return (t_max,)
+    svals = None
+    if s_lengths is not None:
+        svals = [int(s) for v, s in zip(lengths, s_lengths) if v > 0]
+    rounded = sorted({min(t_max, -(-v // quantum) * quantum) for v in lens})
+    C = len(rounded)
+    counts = [0] * C
+    smax = [0] * C
+    for idx, v in enumerate(lens):
+        pos = bisect.bisect_left(rounded,
+                                 min(t_max, -(-v // quantum) * quantum))
+        counts[pos] += 1
+        if svals is not None:
+            smax[pos] = max(smax[pos], bucket_for(svals[idx], S_BUCKETS))
+    pref = [0]
+    for c in counts:
+        pref.append(pref[-1] + c)
+    penalty = max(float(dispatch_penalty_rows), 0.0)
+    while True:
+        best = [float("inf")] * (C + 1)
+        best[0] = 0.0
+        arg = [-1] * (C + 1)
+        for j in range(1, C + 1):
+            U = rounded[j - 1]
+            s_run = 0
+            for i in range(j - 1, -1, -1):
+                s_run = max(s_run, smax[i])   # max S over range [i, j)
+                n = pref[j] - pref[i]
+                if n == 0:
+                    continue
+                batches = -(-n * epochs // batch_size)
+                row = U * (1.0 + s_weight * s_run) if svals is not None else U
+                c = (best[i] + batches * batch_size * row
+                     + -(-batches // max(k, 1)) * penalty)
+                if c < best[j]:
+                    best[j] = c
+                    arg[j] = i
+        cuts = []
+        j = C
+        while j > 0:
+            cuts.append(rounded[j - 1])
+            j = arg[j]
+        if len(cuts) <= max_groups:
+            return tuple(sorted(cuts))
+        penalty = max(penalty * 2.0, float(batch_size * quantum))
+
+
 class OcrDataset:
     """Manifest of PNG line images with .gt.txt transcripts."""
 

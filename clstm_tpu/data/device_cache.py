@@ -33,9 +33,54 @@ import jax
 import jax.numpy as jnp
 
 from clstm_tpu.data.dataset import (S_BUCKETS, T_BUCKETS, TEXT_T_BUCKETS,
-                                    bucket_for)
+                                    auto_t_cuts, bucket_for)
 from clstm_tpu.models.codec import Codec
 from clstm_tpu.ops.ctc import mktargets_ids
+
+
+def measure_dispatch_penalty_rows(device=None, reps: int = 5) -> float:
+    """Per-dispatch overhead of the current backend, in executed
+    frame-rows (the auto_t_cuts cost unit): median round-trip of a tiny
+    jitted op times the chip's measured ~22M frame-rows/s recurrence
+    throughput (runs/r5/waste_ceiling.jsonl; env
+    ``bucket_dp_rows_per_sec`` overrides, e.g. for a bigger model whose
+    per-row cost is higher). Tunneled chip: ~20-40ms RTT -> ~0.5-0.9M
+    rows per dispatch; PCIe host ~1ms -> ~22k; CPU tests ~us -> ~0."""
+    import os
+    import time
+    rows_per_s = float(os.environ.get("bucket_dp_rows_per_sec", 22e6))
+    try:
+        f = jax.jit(lambda v: v + 1.0, device=device)
+    except TypeError:  # newer jax: device= removed from jit
+        f = jax.jit(lambda v: v + 1.0)
+    a = jnp.zeros((8, 128), jnp.float32)
+    if device is not None:
+        a = jax.device_put(a, device)
+    f(a).block_until_ready()
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        f(a).block_until_ready()
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[len(ts) // 2] * rows_per_s
+
+
+def _resolve_t_buckets(t_buckets, lengths, auto_hints, device=None,
+                       s_lengths=None):
+    """``t_buckets="auto"`` -> corpus-adaptive DP cuts (auto_t_cuts) from
+    the given per-line frame lengths (+ blank-interleaved target sizes
+    for the CTC lattice term); anything else passes through."""
+    if not (isinstance(t_buckets, str) and t_buckets == "auto"):
+        return t_buckets
+    hints = dict(auto_hints or {})
+    if "dispatch_penalty_rows" not in hints:
+        try:
+            hints["dispatch_penalty_rows"] = measure_dispatch_penalty_rows(
+                device)
+        except Exception:
+            hints["dispatch_penalty_rows"] = 0.0
+    return auto_t_cuts(lengths, s_lengths=s_lengths, **hints)
 
 
 @jax.jit
@@ -70,15 +115,25 @@ class DeviceDataset:
                  t_buckets: Sequence[int] = T_BUCKETS,
                  s_buckets: Sequence[int] = S_BUCKETS,
                  device=None, mesh=None, axis: str = "data",
-                 merge_sb: bool = False):
+                 merge_sb: bool = False,
+                 auto_hints: Optional[dict] = None):
         """``merge_sb=True`` groups by T bucket ONLY and pads every line
         in a group to the group's largest needed S bucket. Fewer, larger
         groups mean fewer partial batches (less zero-row padding compute)
         and fewer compiled shapes, at the cost of a wider CTC lattice for
         short-target lines — measured round 5 on the bench corpus the row
         waste drops 11%->3% while the extra lattice cost is noise, so the
-        CLIs default to it on the cache path."""
+        CLIs default to it on the cache path.
+
+        ``t_buckets="auto"`` solves for corpus-adaptive cuts instead of a
+        fixed grid (data/dataset.py auto_t_cuts); ``auto_hints`` passes
+        the plan parameters the DP's cost model needs (batch_size,
+        epochs, k — the CLI forwards its actual values) and optionally
+        dispatch_penalty_rows (otherwise measured on the live backend)."""
         self._init_placement(device, mesh, axis)
+        t_buckets = _resolve_t_buckets(
+            t_buckets, [x.shape[0] for x, _ in samples], auto_hints, device,
+            s_lengths=[2 * len(codec.encode(t)) + 1 for _, t in samples])
         groups: dict = {}
         self.t_truncated = self.s_truncated = 0  # over-bucket lines (see
         #                        dataset.count_truncations; CLIs warn)
@@ -159,7 +214,8 @@ class DeviceDataset:
                    chunk_size: int = 64,
                    device=None, mesh=None, axis: str = "data",
                    nthreads: int = 0,
-                   merge_sb: bool = False) -> "DeviceDataset":
+                   merge_sb: bool = False,
+                   auto_hints: Optional[dict] = None) -> "DeviceDataset":
         """Build the cache DIRECTLY from raw line images, with the whole
         normalization/transposition stage running ON DEVICE.
 
@@ -201,11 +257,15 @@ class DeviceDataset:
         with ThreadPoolExecutor(nthreads) as pool:
             raws = list(pool.map(reader, files))
 
+        est_Ts = [estimate_out_T([raw], target_height, pad) for raw in raws]
+        t_buckets = _resolve_t_buckets(
+            t_buckets, est_Ts, auto_hints, device,
+            s_lengths=[2 * len(codec.encode(t)) + 1 for t in texts])
+
         groups: dict = {}
         self.t_truncated = self.s_truncated = 0
-        for raw, text in zip(raws, texts):
+        for raw, text, est_T in zip(raws, texts, est_Ts):
             classes = codec.encode(text)
-            est_T = estimate_out_T([raw], target_height, pad)
             tb = bucket_for(est_T, t_buckets)
             sb = bucket_for(2 * len(classes) + 1, s_buckets)
             self.t_truncated += est_T > t_buckets[-1]

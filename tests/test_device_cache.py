@@ -405,3 +405,59 @@ def test_text_blocks_trajectory_matches_host_onehot():
                     jax.tree.leaves(mb.state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_auto_t_cuts_properties():
+    from clstm_tpu.data.dataset import (T_BUCKETS_FINE, auto_t_cuts,
+                                        bucket_for)
+    rng = np.random.RandomState(3)
+    lens = rng.randint(130, 830, size=400).tolist()
+
+    def model_cost(cuts, B=32, E=64, k=64, pen=0.0):
+        total = 0.0
+        for hi in sorted(cuts):
+            n = sum(1 for v in lens if bucket_for(v, cuts) == hi)
+            if not n:
+                continue
+            batches = -(-n * E // B)
+            total += batches * B * hi + -(-batches // k) * pen
+        return total
+
+    cuts = auto_t_cuts(lens, batch_size=32, epochs=64, k=64)
+    # covers the corpus: every length lands in a bucket >= itself
+    assert cuts == tuple(sorted(cuts))
+    assert cuts[-1] >= max(lens)
+    assert all(c % 16 == 0 for c in cuts)
+    # the DP's solution beats the fixed fine grid under its own model
+    assert model_cost(cuts) <= model_cost(T_BUCKETS_FINE) + 1e-6
+    # a huge dispatch penalty collapses toward few groups
+    few = auto_t_cuts(lens, batch_size=32, epochs=64, k=64,
+                      dispatch_penalty_rows=1e9)
+    assert len(few) < len(cuts)
+    # max_groups is respected even at zero penalty
+    capped = auto_t_cuts(lens, batch_size=32, epochs=1, k=1,
+                         quantum=16, max_groups=5)
+    assert len(capped) <= 5
+    # degenerate inputs
+    assert auto_t_cuts([]) == (T_BUCKETS[-1],)
+    assert auto_t_cuts([100000])[-1] == T_BUCKETS[-1]
+
+
+def test_auto_buckets_cache_trains_and_covers():
+    samples = _samples(n=31, seed=5)
+    codec = Codec.build([t for _, t in samples])
+    dds = DeviceDataset(samples, codec, t_buckets="auto", merge_sb=True,
+                        auto_hints=dict(batch_size=8, epochs=4, k=4))
+    assert len(dds) == len(samples)
+    # groups use the DP cuts (same resolver inputs -> same cuts), and
+    # every sample's bucket is wide enough for it
+    by_text = {t: x for x, t in samples}
+    seen = []
+    for batch in dds.epoch(8, rng=np.random.RandomState(0)):
+        hl = np.asarray(batch["host_lengths"])
+        for b, text in enumerate(batch["texts"]):
+            assert hl[b] == by_text[text].shape[0]  # no truncation
+            assert batch["x"].shape[1] >= by_text[text].shape[0]
+        seen.extend(batch["texts"])
+    assert sorted(seen) == sorted(t for _, t in samples)
+    assert dds.t_truncated == 0 and dds.s_truncated == 0
